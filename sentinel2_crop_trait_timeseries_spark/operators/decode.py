@@ -1,0 +1,121 @@
+"""Tokens <-> observations codec, pure column expressions (no Python).
+
+decode: ``(doc_id, tokens, n_tok, source)`` -> long observations
+``(source, doc_id, ts, value)`` — the analog of the reference's
+long-table materialization (xarray -> DataFrame -> CSV,
+/root/reference/src/03_generate_raw_s2_trait_trajectories.py:245-255).
+
+encode: observations -> token arrays (for the per-row token-array
+equality invariant). Both directions are built-in higher-order array
+functions, so the whole codec stays inside whole-stage codegen and —
+critically — decode is a NARROW transformation: no shuffle between the
+sequence scan and per-doc processing.
+
+Cumulative offsets use an O(n^2) aggregate-over-slice; n <= 17 per doc
+(reference: 11-17 obs per pixel-season) so this is ~150 adds per row,
+all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPOCH_UNIX = 1640995200  # 2022-01-01T00:00:00Z
+VALUE_SCALE = 1000.0
+
+
+def _pair_index() -> Column:
+    return F.sequence(F.lit(0), (F.col("n_tok") / 2).cast("int") - 1)
+
+
+def decode_observations(seq: DataFrame, keep_pos: bool = False) -> DataFrame:
+    """Explode token arrays into timestamped observations.
+
+    ts_k = epoch + (dt_0 + ... + dt_k) hours; value_k = v_k / 1000.
+    """
+    idx = _pair_index()
+    dts = F.transform(idx, lambda i: F.get("tokens", i * 2).cast("long"))
+    vals = F.transform(idx, lambda i: F.get("tokens", i * 2 + 1))
+    offs = F.transform(
+        dts,
+        lambda _, i: F.aggregate(
+            F.slice(dts, F.lit(1), i + 1), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+    pairs = F.arrays_zip(offs.alias("off"), vals.alias("v"))
+    out = (
+        seq.select(
+            "source",
+            "doc_id",
+            F.posexplode(pairs).alias("pos", "p"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.timestamp_seconds(F.lit(EPOCH_UNIX) + F.col("p.off") * 3600).alias("ts"),
+            (F.col("p.v") / VALUE_SCALE).alias("value"),
+            "pos",
+        )
+    )
+    return out if keep_pos else out.drop("pos")
+
+
+def encode_sequences(obs: DataFrame) -> DataFrame:
+    """Re-encode observations into token arrays (inverse of decode).
+
+    Aggregates per (source, doc_id) with an order-insensitive
+    sort_array(collect_list(...)) so the result is deterministic under
+    any partitioning.
+    """
+    agg = obs.groupBy("source", "doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    ((F.unix_timestamp("ts") - F.lit(EPOCH_UNIX)) / 3600)
+                    .cast("long")
+                    .alias("off"),
+                    F.round(F.col("value") * VALUE_SCALE).cast("int").alias("v"),
+                )
+            )
+        ).alias("pts")
+    )
+    idx = F.transform(F.col("pts"), lambda _, i: i)
+    toks = F.flatten(
+        F.transform(
+            F.col("pts"),
+            lambda p, i: F.array(
+                F.when(i == 0, p["off"])
+                .otherwise(p["off"] - F.get("pts", i - 1)["off"])
+                .cast("int"),
+                p["v"].cast("int"),
+            ),
+        )
+    )
+    _ = idx
+    return agg.select(
+        "source",
+        "doc_id",
+        toks.alias("tokens"),
+        (F.size("pts") * 2).cast("int").alias("n_tok"),
+    )
+
+
+def roundtrip_mismatches(seq: DataFrame) -> DataFrame:
+    """Invariant check: decode -> encode must reproduce tokens exactly.
+
+    Returns a 1-row frame (n_docs, n_mismatch); n_mismatch must be 0.
+    """
+    re_enc = encode_sequences(decode_observations(seq))
+    joined = seq.alias("a").join(re_enc.alias("b"), ["source", "doc_id"], "left")
+    return joined.select(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("b.tokens").isNull()
+                | (F.col("a.tokens") != F.col("b.tokens"))
+                | (F.col("a.n_tok") != F.col("b.n_tok")),
+                1,
+            ).otherwise(0)
+        ).alias("n_mismatch"),
+    )

@@ -1,0 +1,253 @@
+"""Dose-response gap-fill: sparse token sequences -> dense hourly series.
+
+Semantics follow the reference's reconstruction loop
+(/root/reference/src/04_reconstruct_s2_traits.py):
+
+- sort obs by time; optional deterministic knockout of 10% of points
+  (reference ``prepare_lai_ts`` :131-136 — but per-key seeded instead of
+  the order-dependent global RNG)
+- outlier filter: values below mean - std are dropped, first point
+  exempt (reference :142-155; mean/std are population stats over the
+  surviving points — the reference's version NaN-poisons mean when
+  knockout ran first, a bug we do not reproduce)
+- between consecutive surviving obs, the value is the cumulative
+  dose-response of the covariate rescaled onto [y_i, y_{i+1}]
+  (reference ``interpolate_between_assimilated_points`` :162-213:
+  in_min = cumsum at the left anchor, in_max = cumsum at the right
+  anchor). If the response is flat over a segment (in_max == in_min,
+  division by zero in the reference) we fall back to time-linear
+  interpolation.
+
+Execution shape (the scale-critical part): one ``sequences`` row holds a
+full per-doc series, so this runs as ``mapInPandas`` over the sequence
+scan — a NARROW op, no shuffle, no groupBy. All math is vectorized
+numpy across the entire Arrow batch (docs are processed flat via
+offset arithmetic, not a Python per-doc loop). The reference processes
+one pixel at a time in a Python loop (:416); here a 10k-doc batch is a
+handful of numpy kernels.
+
+Output: dense hourly rows ``(source, doc_id, ts, value, is_obs)`` or,
+fused, the per-doc tier rollups (hourly/daily/weekly) without any
+shuffle at all.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.response import PARAMS, response_np, temperature_np
+from ..sources.gen import EPOCH_UNIX, VALUE_SCALE, splitmix64
+
+DENSE_SCHEMA = "source string, doc_id string, ts timestamp, value double, is_obs boolean"
+HOUR = 3600
+
+
+def _doc_key_hash(doc_ids: np.ndarray, seed: int) -> np.ndarray:
+    """Stable per-doc uint64 from the doc_id string (FNV-1a + splitmix)."""
+    out = np.empty(len(doc_ids), dtype=np.uint64)
+    mask = (1 << 64) - 1
+    for j, d in enumerate(doc_ids):  # string hash; O(batch), not O(points)
+        h = 14695981039346656037
+        for ch in d.encode():
+            h = ((h ^ ch) * 1099511628211) & mask
+        out[j] = h
+    return splitmix64(out ^ splitmix64(np.full(len(doc_ids), seed, dtype=np.uint64)))
+
+
+def decode_batch(pdf: pd.DataFrame):
+    """Vectorized token decode for a batch: flat (doc_idx, hour, value)."""
+    toks = pdf["tokens"].to_numpy()
+    n_tok = pdf["n_tok"].to_numpy().astype(np.int64)
+    flat = np.concatenate(toks).astype(np.int64) if len(toks) else np.empty(0, np.int64)
+    n_obs = n_tok // 2
+    starts = np.zeros(len(pdf), dtype=np.int64)
+    np.cumsum(n_tok[:-1], out=starts[1:]) if len(pdf) > 1 else None
+    doc_of_tok = np.repeat(np.arange(len(pdf)), n_tok)
+    rel = np.arange(len(flat)) - np.repeat(starts, n_tok)
+    dts = flat[rel % 2 == 0]
+    vals = flat[rel % 2 == 1].astype(np.float64) / VALUE_SCALE
+    doc_of_obs = doc_of_tok[rel % 2 == 0]
+    # per-doc cumsum of dts -> absolute hour offsets
+    g = np.cumsum(dts)
+    obs_starts = np.zeros(len(pdf), dtype=np.int64)
+    np.cumsum(n_obs[:-1], out=obs_starts[1:]) if len(pdf) > 1 else None
+    base = np.zeros_like(g)
+    if len(pdf):
+        seg_first = obs_starts
+        corr = g[seg_first] - dts[seg_first]  # cumsum before each doc's first obs
+        base = np.repeat(corr, n_obs)
+    hours = g - base
+    return doc_of_obs, hours, vals, n_obs
+
+
+def _knockout_mask(key_hash: np.ndarray, doc_of_obs: np.ndarray,
+                   n_obs: np.ndarray, frac: float) -> np.ndarray:
+    """True = keep. Removes floor(n*frac) obs per doc, deterministically.
+
+    Rank obs within each doc by splitmix64(doc_key, obs_index); the
+    lowest floor(n*frac) ranks are dropped. Identical under any
+    partitioning (unlike reference np.random.choice on a global seed).
+    """
+    if frac <= 0:
+        return np.ones(len(doc_of_obs), dtype=bool)
+    idx_in_doc = np.arange(len(doc_of_obs)) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_obs)[:-1])), n_obs
+    )
+    r = splitmix64(key_hash[doc_of_obs] ^ splitmix64(idx_in_doc.astype(np.uint64)))
+    n_drop = (n_obs * frac).astype(np.int64)
+    keep = np.ones(len(doc_of_obs), dtype=bool)
+    # rank within doc: argsort r within segments (docs are contiguous)
+    order = np.lexsort((r, doc_of_obs))
+    rank = np.empty_like(idx_in_doc)
+    rank[order] = idx_in_doc  # 0..n-1 within doc in r-order
+    keep = rank >= n_drop[doc_of_obs]
+    return keep
+
+
+def gapfill_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
+                  params: dict | None = None, knockout: float = 0.0,
+                  outlier_filter: bool = True, seed: int = 42) -> pd.DataFrame:
+    """Gap-fill one Arrow batch of sequence rows -> dense hourly frame."""
+    if len(pdf) == 0:
+        return pd.DataFrame({"source": [], "doc_id": [], "ts": [], "value": [],
+                             "is_obs": []}).astype({"ts": "datetime64[us]"})
+    doc_of_obs, hours, vals, n_obs = decode_batch(pdf)
+    key_hash = _doc_key_hash(pdf["doc_id"].to_numpy(), seed)
+
+    keep = _knockout_mask(key_hash, doc_of_obs, n_obs, knockout)
+    if outlier_filter:
+        # population mean/std per doc over kept points; first kept point exempt
+        d = doc_of_obs[keep]
+        v = vals[keep]
+        cnt = np.bincount(d, minlength=len(pdf)).astype(np.float64)
+        cnt_safe = np.maximum(cnt, 1.0)
+        mean = np.bincount(d, weights=v, minlength=len(pdf)) / cnt_safe
+        var = np.bincount(d, weights=v * v, minlength=len(pdf)) / cnt_safe - mean**2
+        std = np.sqrt(np.maximum(var, 0.0))
+        first_of_doc = np.zeros(len(v), dtype=bool)
+        if len(d):
+            first_of_doc[np.unique(d, return_index=True)[1]] = True
+        ok = first_of_doc | (v >= (mean - std)[d])
+        keep2 = keep.copy()
+        keep2[np.flatnonzero(keep)] = ok
+        keep = keep2
+
+    d = doc_of_obs[keep]
+    h = hours[keep]
+    y = vals[keep]
+    # docs with <2 surviving obs emit just their obs rows
+    n_keep = np.bincount(d, minlength=len(pdf))
+
+    # ---- dense spine (flat across all docs with >=2 anchors)
+    multi = n_keep >= 2
+    anchor_first = np.full(len(pdf), -1, dtype=np.int64)
+    anchor_last = np.full(len(pdf), -1, dtype=np.int64)
+    if d.size:
+        uniq, first_idx = np.unique(d, return_index=True)
+        last_idx = np.concatenate((first_idx[1:], [len(d)])) - 1
+        anchor_first[uniq] = h[first_idx]
+        anchor_last[uniq] = h[last_idx]
+    span = np.where(multi, anchor_last - anchor_first + 1, 0).astype(np.int64)
+    total = int(span.sum())
+
+    doc_of_hr = np.repeat(np.arange(len(pdf)), span)
+    hr_rel = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(span)[:-1])), span)
+    hr = hr_rel + anchor_first[doc_of_hr]
+
+    # covariate + response over the flat spine
+    t_c = temperature_np((EPOCH_UNIX + hr * HOUR).astype(np.float64))
+    r = response_np(curve, t_c, params or PARAMS.get(curve))
+    doc_start_pos = np.concatenate(([0], np.cumsum(span)[:-1]))
+
+    # segment assignment: for each spine hour, the left anchor index
+    BIG = np.int64(1) << np.int64(40)
+    h_keyed = h.astype(np.int64) + d.astype(np.int64) * BIG
+    hr_keyed = hr + doc_of_hr.astype(np.int64) * BIG
+    seg = np.searchsorted(h_keyed, hr_keyed, side="right") - 1
+    # clamp right-endpoint to last segment (h == last anchor)
+    obs_start = np.concatenate(([0], np.cumsum(n_keep)[:-1]))
+    last_seg = obs_start[doc_of_hr] + n_keep[doc_of_hr] - 1
+    seg = np.minimum(seg, last_seg - 1)
+    seg = np.maximum(seg, obs_start[doc_of_hr])
+
+    pos_in_spine = lambda ai: h[ai] - anchor_first[d[ai]] + doc_start_pos[d[ai]]
+
+    # ---- exact per-segment cumulative response (reference semantics:
+    # cumsum restarts at each left anchor, fresh accumulation — a padded
+    # (segment x offset) matrix keeps it sequential/bit-exact; the
+    # global-cumsum-minus-offset trick loses precision catastrophically
+    # when a segment's response range is tiny (wang_engels cold spells))
+    seg_ord = seg - doc_of_hr.astype(np.int64)  # contiguous global segment id
+    pos = hr - h[seg]  # offset within segment, 0-based
+    value = np.empty(total, dtype=np.float64)
+    if total:
+        n_segs = int(seg_ord.max()) + 1
+        # obs index of each segment's left anchor: all obs except each
+        # doc's last obs; seg_left[s] for s = obs_idx - doc_idx
+        is_last = np.zeros(len(d), dtype=bool)
+        if d.size:
+            uq, fi = np.unique(d, return_index=True)
+            li = np.concatenate((fi[1:], [len(d)])) - 1
+            is_last[li] = True
+        seg_left = np.flatnonzero(~is_last)[:n_segs]
+        a_r_s = seg_left + 1
+        right_pos = (h[a_r_s] - h[seg_left]).astype(np.int64)
+        width = int(right_pos.max()) + 1
+        M = np.zeros((n_segs, width), dtype=np.float64)
+        M[seg_ord, pos] = r
+        M[np.arange(n_segs), right_pos] = r[pos_in_spine(a_r_s)]
+        cumM = np.cumsum(M, axis=1)
+        in_min_s = cumM[:, 0]
+        in_max_s = cumM[np.arange(n_segs), right_pos]
+        rng_s = in_max_s - in_min_s
+        cum = cumM[seg_ord, pos]
+        y_l, y_r = y[seg], y[seg + 1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac_resp = (cum - in_min_s[seg_ord]) / rng_s[seg_ord]
+        frac_time = pos / np.maximum(right_pos[seg_ord], 1)
+        frac = np.where(rng_s[seg_ord] > 0, frac_resp, frac_time)
+        value = y_l + frac * (y_r - y_l)
+
+    is_obs_hr = np.zeros(total, dtype=bool)
+    if d.size:
+        is_obs_hr[pos_in_spine(np.arange(len(d)))[multi[d]]] = True
+
+    # docs with <2 anchors: emit their surviving obs directly
+    lone = ~multi[d]
+    out_doc = np.concatenate((doc_of_hr, d[lone]))
+    out_hr = np.concatenate((hr, h[lone]))
+    out_val = np.concatenate((value, y[lone]))
+    out_obs = np.concatenate((is_obs_hr, np.ones(int(lone.sum()), dtype=bool)))
+
+    src = pdf["source"].to_numpy()
+    did = pdf["doc_id"].to_numpy()
+    return pd.DataFrame(
+        {
+            "source": src[out_doc],
+            "doc_id": did[out_doc],
+            "ts": pd.to_datetime((EPOCH_UNIX + out_hr * HOUR) * 1_000_000, unit="us"),
+            "value": out_val,
+            "is_obs": out_obs,
+        }
+    )
+
+
+def gapfill(seq: DataFrame, curve: str = "asymptotic", params: dict | None = None,
+            knockout: float = 0.0, outlier_filter: bool = True,
+            seed: int = 42) -> DataFrame:
+    """sequences -> dense hourly reconstruction, as a narrow mapInPandas."""
+
+    chunk = 4096  # bounds the padded segment matrix to ~150 MB
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for lo in range(0, len(pdf), chunk):
+                yield gapfill_batch(pdf.iloc[lo:lo + chunk], curve=curve,
+                                    params=params, knockout=knockout,
+                                    outlier_filter=outlier_filter, seed=seed)
+
+    return seq.mapInPandas(fn, schema=DENSE_SCHEMA)
