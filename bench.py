@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Also times the engine pipeline itself (synthetic tokenized sequences ->
+decode -> 3-tier rollup cascade) and reports rolled-up points/sec and
+sequences/sec, the BASELINE.json headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sentinel2_crop_trait_timeseries_spark.session import get_spark  # noqa: E402
+from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES  # noqa: E402
+from sentinel2_crop_trait_timeseries_spark.sources.gen import generate_sequences  # noqa: E402
+from sentinel2_crop_trait_timeseries_spark.operators.decode import decode_observations  # noqa: E402
+from sentinel2_crop_trait_timeseries_spark.operators.rollup import cascade  # noqa: E402
+
+# headline subset: engine-shaped queries + relational coverage; the rest
+# of the catalog is exercised by the driver's correctness gate.
+HEADLINE = [
+    "rollup_hourly",
+    "rollup_daily_cascade",
+    "rollup_weekly_cascade",
+    "continuous_agg_daily",
+    "error_stats_by_type",
+    "gapfill_dose_response",
+    "asof_join_signup",
+    "tolerance_join",
+    "sessionize",
+    "pricing_summary",
+    "revenue_by_nation",
+    "daily_spine_zerofill",
+]
+
+# engine-pipeline scale for the bench (docs); ~14 obs/doc average
+ENGINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("s2tt_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]["fn"]
+        fn(spark, sf_dir).count()  # warm (JIT, parquet footer cache)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # engine pipeline: sequences -> decode -> 3-tier rollup cascade.
+    # Tiers are MATERIALIZED finest-first (hourly written, daily read from
+    # hourly, ...) — the retention-engine plan: the raw-row shuffle happens
+    # exactly once, coarser tiers aggregate the already-reduced parquet.
+    seq = generate_sequences(spark, ENGINE_DOCS, partitions=cpus * 2)
+    seq.write.mode("overwrite").parquet("/tmp/bench_seq.parquet")
+    seq_stored = spark.read.parquet("/tmp/bench_seq.parquet")
+    t0 = time.perf_counter()
+    obs = decode_observations(seq_stored)
+    tiers = cascade(obs, materialize_dir="/tmp/bench_tiers", spark=spark)
+    points = {t: df.count() for t, df in tiers.items()}
+    engine_sec = time.perf_counter() - t0
+    n_points = sum(points.values())
+    timings["engine_rollup_cascade"] = round(engine_sec, 4)
+
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "engine": {
+            "docs": ENGINE_DOCS,
+            "rolled_points": n_points,
+            "points_per_tier": points,
+            "points_per_sec": round(n_points / engine_sec, 1),
+            "sequences_per_sec": round(ENGINE_DOCS / engine_sec, 1),
+        },
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

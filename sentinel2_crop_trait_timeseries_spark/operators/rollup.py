@@ -51,10 +51,22 @@ def rollup_tier(obs: DataFrame, tier: str, keys: list[str] = ("source", "doc_id"
 
 
 def cascade(obs: DataFrame, keys: list[str] = ("source", "doc_id"),
-            value_col: str = "value", ts_col: str = "ts") -> dict[str, DataFrame]:
-    """All three tiers; daily/weekly re-aggregate the next-finer tier."""
+            value_col: str = "value", ts_col: str = "ts",
+            materialize_dir: str | None = None, spark=None) -> dict[str, DataFrame]:
+    """All three tiers; daily/weekly re-aggregate the next-finer tier.
+
+    With ``materialize_dir`` each tier is written to parquet finest-first
+    and the next tier reads the stored one — the retention-engine
+    execution: the raw-observation shuffle happens exactly once; coarser
+    tiers re-shuffle only the already-reduced rollup (orders of magnitude
+    smaller). Without it, the tiers are lazy views sharing lineage.
+    """
     keys = list(keys)
     hourly = rollup_tier(obs, "hourly", keys, value_col, ts_col)
+    if materialize_dir is not None:
+        assert spark is not None, "materialize_dir requires spark"
+        hourly.write.mode("overwrite").parquet(f"{materialize_dir}/hourly")
+        hourly = spark.read.parquet(f"{materialize_dir}/hourly")
 
     def _up(lower: DataFrame, tier: str) -> DataFrame:
         bucket = F.date_trunc(_TRUNC[tier], F.col("bucket_ts")).alias("b2")
@@ -74,7 +86,13 @@ def cascade(obs: DataFrame, keys: list[str] = ("source", "doc_id"),
         )
 
     daily = _up(hourly, "daily")
+    if materialize_dir is not None:
+        daily.write.mode("overwrite").parquet(f"{materialize_dir}/daily")
+        daily = spark.read.parquet(f"{materialize_dir}/daily")
     weekly = _up(daily, "weekly")
+    if materialize_dir is not None:
+        weekly.write.mode("overwrite").parquet(f"{materialize_dir}/weekly")
+        weekly = spark.read.parquet(f"{materialize_dir}/weekly")
     return {"hourly": hourly, "daily": daily, "weekly": weekly}
 
 
