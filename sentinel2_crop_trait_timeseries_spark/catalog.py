@@ -944,3 +944,7 @@ def gapfill_linear(spark, sf_dir):
         (F.col("h") * 3600).alias("bucket_ts"),
         F.round(F.lit(1e-9) + F.col("v0") + frac * (F.col("v1") - F.col("v0")), 4).alias("value"),
     ).distinct()
+
+
+# register the documents/embeddings training-data pipeline queries
+from sentinel2_crop_trait_timeseries_spark import catalog_docs  # noqa: E402,F401

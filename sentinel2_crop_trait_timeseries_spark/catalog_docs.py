@@ -1,0 +1,641 @@
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis over the ``documents`` / ``embeddings`` tables.
+
+These are the large-scale data-curation operators a 100 TB training
+pipeline needs, each expressed Spark-first with a DuckDB oracle:
+
+- exact dedup (hash groupBy)
+- MinHash + LSH banding (shingle -> minhash -> band -> bucket join)
+- SimHash (bit-vote signature + Hamming pairs)
+- n-gram Jaccard near-dup (shingle self-join; LSH is the scale path)
+- embedding-cosine near-dup + brute-force ANN top-k + LSH-bucketed ANN
+- language-ID (corpus-learned word profiles, integer scores)
+- quality scoring, token counting, document fingerprinting
+
+Cross-engine determinism rules (beyond catalog.py's):
+- shared 60-bit hash: Spark ``conv(substr(md5(s),1,15),16,10)`` ==
+  DuckDB ``cast('0x'||substr(md5(s),1,15) as bigint)`` (md5 is md5)
+- rankings never order on raw doubles: order on round(x, 4) with an id
+  tie-break, so a 1e-15 cross-engine fp wobble cannot flip a rank
+- scores used for argmax (lang-ID) are pure BIGINT sums
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sentinel2_crop_trait_timeseries_spark.catalog import _q, _t
+
+# ---------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------
+
+_SQL_H = "cast('0x' || substr(md5({x}), 1, 15) as bigint)"
+
+
+def _h(col) -> F.Column:
+    """60-bit deterministic hash, identical in Spark and DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def _words(df: DataFrame, distinct: bool = False) -> DataFrame:
+    """(doc_id, w): whitespace-tokenized words, empties dropped."""
+    arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    out = df.select("doc_id", F.explode(arr).alias("w"))
+    return out.distinct() if distinct else out
+
+
+_SQL_WORDS = """
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x <> '')) AS w
+      FROM documents
+"""
+
+# dot product / norms over float[] embeddings; both engines fold the
+# 64-dim arrays sequentially, and every surfaced value is rounded
+_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+_SQL_STOP = "('the','a','of','and','is','to','in')"
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+
+@_q(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+             AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+             AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (letters runs / single digits / punctuation), all JVM-side regex —
+    per-doc narrow map, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    bpe = F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@_q(
+    "text_quality_score",
+    rf"""
+    WITH w AS (
+      SELECT doc_id, count(*) AS n_words,
+             count(DISTINCT w) AS n_distinct,
+             round(1e-9 + avg(length(w)), 4) AS avg_word_len,
+             round(1e-9 + avg(CASE WHEN w IN {_SQL_STOP} THEN 1.0 ELSE 0.0 END), 4)
+               AS stopword_ratio
+      FROM ({_SQL_WORDS}) GROUP BY 1
+    )
+    SELECT doc_id, n_words, n_distinct, avg_word_len, stopword_ratio,
+           round(1e-9 + 0.5 * n_distinct / n_words
+                 + 0.3 * (1 - stopword_ratio)
+                 + 0.2 * least(n_words / 100.0, 1.0), 4) AS quality
+    FROM w
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring from length / stopword / distinctness ratios
+    (training-data curation filter; all ratios are exact int divisions)."""
+    d = _t(spark, sf_dir, "documents")
+    w = _words(d).groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("w").alias("n_distinct"),
+        F.round(F.lit(1e-9) + F.avg(F.length("w")), 4).alias("avg_word_len"),
+        F.round(
+            F.lit(1e-9)
+            + F.avg(F.when(F.col("w").isin(*_STOPWORDS), 1.0).otherwise(0.0)),
+            4,
+        ).alias("stopword_ratio"),
+    )
+    quality = F.round(
+        F.lit(1e-9)
+        + 0.5 * F.col("n_distinct") / F.col("n_words")
+        + 0.3 * (1 - F.col("stopword_ratio"))
+        + 0.2 * F.least(F.col("n_words") / 100.0, F.lit(1.0)),
+        4,
+    )
+    return w.select(
+        "doc_id", "n_words", "n_distinct", "avg_word_len", "stopword_ratio",
+        quality.alias("quality"),
+    )
+
+
+@_q(
+    "lang_id_wordprofile",
+    f"""
+    WITH words AS ({_SQL_WORDS}),
+    train AS (
+      SELECT d.lang, w.w, count(*) AS c
+      FROM words w JOIN documents d USING (doc_id)
+      WHERE d.doc_id % 5 <> 0 GROUP BY 1, 2
+    ),
+    scores AS (
+      SELECT w.doc_id, t.lang, sum(t.c) AS score
+      FROM words w JOIN train t ON w.w = t.w
+      WHERE w.doc_id % 5 = 0 GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, lang AS predicted FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT d.lang AS actual, p.predicted, count(*) AS n
+    FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2
+    """,
+)
+def lang_id_wordprofile(spark, sf_dir):
+    """Language-ID: word-frequency profiles learned on 80% of the corpus
+    (doc_id%5<>0), argmax integer score on the held-out 20%; returns the
+    confusion matrix. The profile is tiny (langs x vocab) -> broadcast
+    join against the exploded words; scores are BIGINT so the argmax is
+    engine-independent."""
+    d = _t(spark, sf_dir, "documents")
+    words = _words(d)
+    train = (
+        words.join(d.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("doc_id") % 5 != 0)
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    scores = (
+        words.filter(F.col("doc_id") % 5 == 0)
+        .join(F.broadcast(train), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("c").alias("score"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+    )
+    pred = (
+        scores.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("predicted"))
+    )
+    return (
+        pred.join(d.select("doc_id", F.col("lang").alias("actual")), "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    f"""
+    WITH dw AS (SELECT DISTINCT doc_id, w FROM ({_SQL_WORDS}))
+    SELECT doc_id,
+           bit_xor({_SQL_H.format(x='w')}) AS fingerprint,
+           count(*) AS n_distinct_words
+    FROM dw GROUP BY 1
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: order-insensitive XOR of 60-bit word hashes
+    over the distinct word set (bag-of-words content hash; map-side
+    combinable aggregate, one shuffle of pre-xored partials)."""
+    d = _t(spark, sf_dir, "documents")
+    dw = _words(d, distinct=True)
+    return dw.groupBy("doc_id").agg(
+        F.bit_xor(_h("w")).alias("fingerprint"),
+        F.count("*").alias("n_distinct_words"),
+    )
+
+
+# =====================================================================
+# Deduplication family
+# =====================================================================
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content hash, keep min doc_id.
+    At 100 TB: group on md5 (fixed 32 bytes) not the text itself, so the
+    shuffle carries hashes, and partial aggregation collapses dups
+    map-side."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper")
+    )
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct 3-word shingles per doc."""
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - 3, F.lit(-1))),
+        lambda i: F.concat_ws(
+            " ", F.get(ws, i), F.get(ws, i + 1), F.get(ws, i + 2)
+        ),
+    )
+    return (
+        d.filter(F.size(ws) >= 3)
+        .select("doc_id", F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+_SQL_SHINGLES = r"""
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+      WHERE len(ws) >= 3
+"""
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jac FROM (
+      SELECT doc_a, doc_b,
+             round(1e-9 + shared / (ca.n + cb.n - shared), 4) AS jac,
+             row_number() OVER (ORDER BY round(1e-9 + shared / (ca.n + cb.n - shared), 4) DESC,
+                                doc_a, doc_b) AS rn
+      FROM shared JOIN cnt ca ON ca.doc_id = doc_a
+                  JOIN cnt cb ON cb.doc_id = doc_b
+    ) WHERE rn <= 20
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: 3-word shingles, candidate pairs via
+    shingle self-join, exact Jaccard, global top-20 most-similar pairs.
+    Rank key is the ROUNDED jaccard + id tie-break (integer ratio ->
+    bit-identical in both engines). The self-join is the small-scale
+    path; at 100 TB use dedup_minhash_lsh below (banding bounds the
+    candidate set)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.round(
+        F.lit(1e-9)
+        + F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        4,
+    )
+    scored = shared.join(ca, "doc_a").join(cb, "doc_b").select(
+        "doc_a", "doc_b", jac.alias("jac")
+    )
+    w = Window.orderBy(F.desc("jac"), "doc_a", "doc_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+_MINHASH_K = 8  # 2 bands x 4 rows (4-row bands keep candidate selectivity high)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH dw AS (SELECT DISTINCT doc_id, w FROM ({_SQL_WORDS})),
+    hashes AS (
+      SELECT doc_id, i,
+             min({_SQL_H.format(x="i::VARCHAR || '|' || w")}) AS m
+      FROM dw, LATERAL (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS i) t
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             md5(string_agg(m::VARCHAR, '_' ORDER BY i)) AS sig
+      FROM hashes GROUP BY 1, 2
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: unigram set -> 8 minhashes (60-bit keyed
+    hash family) -> 4 bands of 2 -> candidate pairs share a band
+    signature. The band join is an equi-join on (band, sig): at 100 TB
+    this is THE dedup plan — candidates are found by shuffle-join on
+    short signatures, never by all-pairs comparison."""
+    d = _t(spark, sf_dir, "documents")
+    dw = _words(d, distinct=True)
+    hashes = (
+        dw.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("i"), "w"
+        )
+        .select(
+            "doc_id", "i",
+            _h(F.concat_ws("|", F.col("i").cast("string"), F.col("w"))).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("m"))
+    )
+    sig = F.md5(
+        F.concat_ws(
+            "_",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"].cast("string"),
+            ),
+        ).cast("binary")
+    )
+    bands = hashes.groupBy(
+        "doc_id", F.floor(F.col("i") / 4).cast("int").alias("band")
+    ).agg(sig.alias("sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+_SIMHASH_BITS = 32
+
+
+@_q(
+    "dedup_simhash",
+    f"""
+    WITH dw AS (SELECT DISTINCT doc_id, w FROM ({_SQL_WORDS})),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN sum(CASE WHEN ({_SQL_H.format(x='w')} >> b) & 1 = 1
+                           THEN 1 ELSE -1 END) > 0
+                  THEN cast(1 AS BIGINT) << b ELSE 0 END AS bit
+      FROM dw, LATERAL (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS b) t
+      GROUP BY 1, 2
+    ),
+    sig AS (SELECT doc_id, sum(bit) AS simhash FROM bits GROUP BY 1)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 32-bit bit-vote signature over the distinct
+    word set; pairs at Hamming distance <= 2. Pair search here is the
+    small-scale all-pairs; the scale path buckets on signature prefixes
+    (same banding idea as MinHash-LSH)."""
+    d = _t(spark, sf_dir, "documents")
+    dw = _words(d, distinct=True)
+    # shiftright/shiftleft need per-row shift amounts -> SQL expressions
+    vote = F.sum(F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END"))
+    bits = (
+        dw.select(
+            "doc_id",
+            _h("w").alias("h"),
+            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(vote.alias("v"))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
+            ).otherwise(F.lit(0).cast("long")).alias("bit"),
+        )
+    )
+    sig = bits.groupBy("doc_id").agg(F.sum("bit").alias("simhash"))
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+# =====================================================================
+# Embedding similarity (near-dup + ANN search)
+# =====================================================================
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT doc_a, doc_b, cos FROM (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             round(1e-9 + list_cosine_similarity(a.embedding, b.embedding), 4) AS cos,
+             row_number() OVER (
+               ORDER BY round(1e-9 + list_cosine_similarity(a.embedding, b.embedding), 4) DESC,
+                        a.vec_id, b.vec_id) AS rn
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE rn <= 20
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: top-20 most-similar pairs by cosine.
+    All-pairs here (500 vecs); ann_lsh_bucketed is the scale path."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    j = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    cos = F.round(
+        F.lit(1e-9)
+        + _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+        4,
+    )
+    w = Window.orderBy(F.desc("cos"), "doc_a", "doc_b")
+    return (
+        j.select("doc_a", "doc_b", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_a", "doc_b", "cos")
+    )
+
+
+@_q(
+    "ann_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(1e-9 + list_cosine_similarity(q.embedding, c.embedding), 4) AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(1e-9 + list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+                        c.vec_id) AS rank
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    ) WHERE rank <= 3
+    """,
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the full corpus, rank per query. At scale: queries broadcast, corpus
+    stays partitioned -> shuffle-free map-side scoring + per-query top-k
+    (the baseline every ANN index is measured against)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
+    j = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(
+        F.lit(1e-9)
+        + _dot(F.col("eq"), F.col("ec")) / (_norm(F.col("eq")) * _norm(F.col("ec"))),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        j.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+@_q(
+    "ann_lsh_bucketed",
+    """
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(1e-9 + list_cosine_similarity(q.embedding, c.embedding), 4) AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(1e-9 + list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+                        c.vec_id) AS rank
+      FROM sig q JOIN sig c
+        ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id % 50 = 0
+    ) WHERE rank <= 3
+    """,
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """LSH-bucketed ANN: sign-of-dimension random-hyperplane signature
+    (4 bits here) buckets the corpus; search only within the query's
+    bucket. The bucket equi-join replaces the all-pairs cross join —
+    the candidate set shrinks ~2^bits-fold, and the join partitions by
+    bucket (AQE handles bucket skew)."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.element_at("embedding", 1) > 0, 8).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 4) > 0, 1).otherwise(0)
+    )
+    sig = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = sig.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        "bucket",
+    )
+    c = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ec"),
+        "bucket",
+    )
+    j = c.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = F.round(
+        F.lit(1e-9)
+        + _dot(F.col("eq"), F.col("ec")) / (_norm(F.col("eq")) * _norm(F.col("ec"))),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        j.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+@_q(
+    "embedding_label_stats",
+    """
+    SELECT label, count(*) AS n,
+           round(1e-9 + avg(sqrt(list_aggregate(
+             list_transform(embedding, x -> cast(x AS DOUBLE) * x), 'sum'))), 4)
+             AS mean_norm,
+           round(1e-9 + avg(cast(embedding[1] AS DOUBLE)), 4) AS mean_dim0
+    FROM embeddings GROUP BY 1
+    """,
+)
+def embedding_label_stats(spark, sf_dir):
+    """Per-label embedding stats (corpus health check): mean L2 norm and
+    mean of the first dimension — array fold entirely JVM-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.lit(1e-9) + F.avg(_norm(F.col("embedding"))), 4).alias("mean_norm"),
+        F.round(
+            F.lit(1e-9) + F.avg(F.element_at("embedding", 1).cast("double")), 4
+        ).alias("mean_dim0"),
+    )
