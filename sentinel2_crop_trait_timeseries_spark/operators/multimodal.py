@@ -1,0 +1,81 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct, processed by Arrow-batch iterator UDFs
+(``mapInPandas``) so payload bytes never round-trip through per-row
+Python. The actual codec libraries (PIL/ffmpeg/etc.) are NOT in this
+container, so the pixel/sample decode step is stubbed: ``decode_meta``
+extracts deterministic byte-level metadata (real and tested), while
+``decode_pixels`` raises ``NotImplementedError`` with the schema and
+batch shape the real implementation must keep.
+
+Partitioning note for 100 TB: payload rows are large and self-contained
+— a narrow ``mapInPandas`` pipeline (no shuffle), with
+``spark.sql.files.maxPartitionBytes`` sized so one Arrow batch of
+payloads fits executor memory. Metadata-only queries should select the
+metadata struct and never touch the binary column (parquet column
+pruning keeps payload I/O at zero).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = "doc_id bigint, byte_len int, first_byte int, checksum bigint"
+
+
+def attach_payload(df: DataFrame, text_col: str = "text",
+                   payload_col: str = "payload") -> DataFrame:
+    """Stand-in ingest: materialize an opaque binary payload column.
+
+    (In production this is the raw image/audio bytes read from object
+    storage; here it is the utf-8 bytes of a text column so tests and
+    oracles are deterministic.)
+    """
+    return df.withColumn(payload_col, F.col(text_col).cast("binary"))
+
+
+def decode_meta(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Arrow-batch metadata extraction over binary payloads.
+
+    Deterministic byte-level features (length, first byte, additive
+    checksum) — the plumbing (schema, batch iteration, binary transfer)
+    is exactly what a real image/audio feature extractor needs.
+    """
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": payloads.map(len).astype("int32"),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    "checksum": payloads.map(lambda b: sum(b)).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, META_SCHEMA)
+
+
+def decode_pixels(df: DataFrame, payload_col: str = "payload",
+                  target_size: tuple[int, int] = (224, 224)) -> DataFrame:
+    """STUB: full image decode + resize to ``target_size``.
+
+    The real implementation is a ``mapInPandas`` UDF with output schema
+    ``doc_id bigint, pixels array<float>, height int, width int`` that
+    decodes each payload (PIL/libjpeg), resizes, and emits CHW float32
+    — one Arrow batch of decoded tensors per input batch. Not available
+    in this container (no imaging libraries).
+    """
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "environment; use decode_meta for byte-level features"
+    )

@@ -1,0 +1,53 @@
+"""Multimodal binary plumbing + streaming rollup == batch rollup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel2_crop_trait_timeseries_spark.operators.multimodal import (
+    attach_payload,
+    decode_meta,
+    decode_pixels,
+)
+from sentinel2_crop_trait_timeseries_spark.streaming.rollup_stream import (
+    run_file_stream_once,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_multimodal_meta_byte_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "hello world")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in decode_meta(attach_payload(df)).collect()}
+    assert rows[1]["byte_len"] == 3 and rows[1]["first_byte"] == ord("a")
+    assert rows[1]["checksum"] == sum(b"abc")
+    assert rows[2]["byte_len"] == 0 and rows[2]["first_byte"] == -1
+    assert rows[3]["checksum"] == sum(b"hello world")
+
+
+def test_decode_pixels_is_stubbed(spark):
+    df = attach_payload(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_pixels(df)
+
+
+def test_streaming_equals_batch(spark):
+    res = run_file_stream_once(spark, SF, query_name="t_stream")
+    got = {
+        (r["event_type"], r["win"]["start"]): (r["n"], round(r["sum_value"], 6))
+        for r in res.collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("value").alias("n"), F.sum("value").alias("s"))
+    )
+    want = {
+        (r["event_type"], r["win"]["start"]): (r["n"], round(r["s"], 6))
+        for r in batch.collect()
+    }
+    assert got == want
