@@ -251,3 +251,114 @@ def gapfill(seq: DataFrame, curve: str = "asymptotic", params: dict | None = Non
                                     outlier_filter=outlier_filter, seed=seed)
 
     return seq.mapInPandas(fn, schema=DENSE_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Fused gap-fill + per-doc tier rollup (shuffle-free)
+# ---------------------------------------------------------------------
+
+TIER_SCHEMA = (
+    "tier string, source string, doc_id string, bucket_ts timestamp, "
+    "n long, sum_value double, mean_value double, min_value double, "
+    "max_value double, sumsq_value double"
+)
+
+_DAY = 86400
+_WEEK_SHIFT = 3 * _DAY  # epoch day 0 is a Thursday; Monday alignment
+
+
+def _tier_rollup_np(doc, sec, val, n_docs):
+    """Per-(doc, bucket) aggregates for hourly/daily/weekly, vectorized.
+
+    Equivalent to cascade(rollup_tier(...)) on the dense rows, but
+    computed inside the Arrow batch: a sequence row holds its entire
+    doc, so per-doc tiers never need a shuffle. Rows arrive
+    doc-contiguous; a stable argsort on the composite key makes
+    reduceat segments exact.
+    """
+    out = {}
+    hour = sec  # already hour-aligned epoch seconds
+    day = (sec // _DAY) * _DAY
+    week = ((sec + _WEEK_SHIFT) // (7 * _DAY)) * (7 * _DAY) - _WEEK_SHIFT
+    for tier, bucket in (("hourly", hour), ("daily", day), ("weekly", week)):
+        key = doc.astype(np.int64) * (np.int64(1) << 42) + bucket
+        order = np.argsort(key, kind="stable")
+        k_s, v_s = key[order], val[order]
+        uniq, starts = np.unique(k_s, return_index=True)
+        n = np.diff(np.concatenate((starts, [len(k_s)])))
+        out[tier] = (
+            (uniq >> 42).astype(np.int64),                  # doc idx
+            (uniq & ((np.int64(1) << 42) - 1)).astype(np.int64),  # bucket sec
+            n.astype(np.int64),
+            np.add.reduceat(v_s, starts),
+            np.minimum.reduceat(v_s, starts),
+            np.maximum.reduceat(v_s, starts),
+            np.add.reduceat(v_s * v_s, starts),
+        )
+    return out
+
+
+def gapfill_tiers_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
+                        params: dict | None = None, knockout: float = 0.0,
+                        outlier_filter: bool = True, seed: int = 42) -> pd.DataFrame:
+    dense = gapfill_batch(pdf, curve=curve, params=params, knockout=knockout,
+                          outlier_filter=outlier_filter, seed=seed)
+    if len(dense) == 0:
+        return pd.DataFrame(
+            {c: [] for c in ["tier", "source", "doc_id", "bucket_ts", "n",
+                             "sum_value", "mean_value", "min_value",
+                             "max_value", "sumsq_value"]}
+        ).astype({"bucket_ts": "datetime64[us]", "n": "int64"})
+    # recover doc index + epoch seconds from the dense frame
+    codes, _ = pd.factorize(dense["doc_id"], sort=False)
+    sec = dense["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+    val = dense["value"].to_numpy()
+    first_rows = np.unique(codes, return_index=True)[1]
+    doc_src = dense["source"].to_numpy()[first_rows]
+    doc_did = dense["doc_id"].to_numpy()[first_rows]
+    tiers = _tier_rollup_np(codes, sec, val, len(first_rows))
+    frames = []
+    for tier, (di, bucket, n, s, mn, mx, ss) in tiers.items():
+        frames.append(
+            pd.DataFrame(
+                {
+                    "tier": tier,
+                    "source": doc_src[di],
+                    "doc_id": doc_did[di],
+                    "bucket_ts": pd.to_datetime(bucket * 1_000_000, unit="us"),
+                    "n": n,
+                    "sum_value": s,
+                    "mean_value": s / n,
+                    "min_value": mn,
+                    "max_value": mx,
+                    "sumsq_value": ss,
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def gapfill_tiers(seq: DataFrame, curve: str = "asymptotic",
+                  params: dict | None = None, knockout: float = 0.0,
+                  outlier_filter: bool = True, seed: int = 42) -> DataFrame:
+    """sequences -> all three per-doc retention tiers, SHUFFLE-FREE.
+
+    The scale-critical fusion: dense reconstruction and its per-doc
+    hourly/daily/weekly rollups happen inside one Arrow batch, so the
+    job is a pure narrow map from the sequence scan to the tier sink.
+    At 10^12 sequences this removes the dominant shuffle entirely —
+    only cross-doc continuous aggregates (rollup.continuous_aggregate)
+    ever shuffle, and those shuffle pre-reduced rollup rows.
+    Output is identical to cascade(gapfill(seq)) (tested property).
+    """
+    chunk = 4096
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for lo in range(0, len(pdf), chunk):
+                yield gapfill_tiers_batch(pdf.iloc[lo:lo + chunk], curve=curve,
+                                          params=params, knockout=knockout,
+                                          outlier_filter=outlier_filter,
+                                          seed=seed)
+
+    return seq.mapInPandas(fn, schema=TIER_SCHEMA)
