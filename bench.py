@@ -16,11 +16,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from sentinel2_crop_trait_timeseries_spark.session import get_spark  # noqa: E402
 from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES  # noqa: E402
 from sentinel2_crop_trait_timeseries_spark.sources.gen import generate_sequences  # noqa: E402
 from sentinel2_crop_trait_timeseries_spark.operators.decode import decode_observations  # noqa: E402
 from sentinel2_crop_trait_timeseries_spark.operators.rollup import cascade  # noqa: E402
+from sentinel2_crop_trait_timeseries_spark.operators.gapfill import gapfill_tiers  # noqa: E402
+from sentinel2_crop_trait_timeseries_spark.operators.compress import compress_segments  # noqa: E402
 
 # headline subset: engine-shaped queries + relational coverage; the rest
 # of the catalog is exercised by the driver's correctness gate.
@@ -73,6 +77,29 @@ def main() -> None:
     n_points = sum(points.values())
     timings["engine_rollup_cascade"] = round(engine_sec, 4)
 
+    # flagship fused path: gap-fill + per-doc 3-tier rollup, shuffle-free,
+    # written partitioned by tier (the BASELINE.json headline metric)
+    fused_docs = int(os.environ.get("SPARK_GRAFT_FUSED_DOCS", "10000"))
+    fseq = generate_sequences(spark, fused_docs, partitions=cpus * 2)
+    fseq.write.mode("overwrite").parquet("/tmp/bench_fused_seq.parquet")
+    fstored = spark.read.parquet("/tmp/bench_fused_seq.parquet")
+    t0 = time.perf_counter()
+    gapfill_tiers(fstored, knockout=0.1).write.mode("overwrite").partitionBy(
+        "tier"
+    ).parquet("/tmp/bench_fused_tiers")
+    fused_sec = time.perf_counter() - t0
+    fused_points = spark.read.parquet("/tmp/bench_fused_tiers").count()
+    timings["engine_fused_gapfill_tiers"] = round(fused_sec, 4)
+
+    # Gorilla segment compression ratio over a 5k-doc observation sample
+    # (applyInPandas per-group overhead dominates with tiny groups, so the
+    # metric sample is bounded; the codec itself is O(points))
+    comp_obs = decode_observations(generate_sequences(spark, 5000, partitions=cpus))
+    comp = compress_segments(comp_obs).agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+    ).collect()[0]
+    compression_ratio = round(comp["raw"] / comp["enc"], 3)
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total",
@@ -86,6 +113,13 @@ def main() -> None:
             "points_per_tier": points,
             "points_per_sec": round(n_points / engine_sec, 1),
             "sequences_per_sec": round(ENGINE_DOCS / engine_sec, 1),
+            "fused": {
+                "docs": fused_docs,
+                "rolled_points": fused_points,
+                "points_per_sec": round(fused_points / fused_sec, 1),
+                "sequences_per_sec": round(fused_docs / fused_sec, 1),
+            },
+            "gorilla_compression_ratio": compression_ratio,
         },
         "cpus": cpus,
     }

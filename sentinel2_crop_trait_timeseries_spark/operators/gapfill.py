@@ -44,6 +44,27 @@ from ..sources.gen import EPOCH_UNIX, VALUE_SCALE, splitmix64
 
 DENSE_SCHEMA = "source string, doc_id string, ts timestamp, value double, is_obs boolean"
 HOUR = 3600
+HOURS_PER_PERIOD = 8760  # covariate period: seasonal year; 24 | 8760
+
+_LUT_CACHE: dict = {}
+
+
+def _response_lut(curve: str, params: dict | None) -> np.ndarray:
+    """response(temperature(EPOCH + h hours)) for h in [0, 8760).
+
+    Bit-exact stand-in for the direct computation at integer hours:
+    temperature_np is periodic in 8760 h (and its diurnal term in 24 h,
+    a divisor), and float64 mod of integer-valued inputs is exact, so
+    LUT[hr % 8760] feeds sin/exp the same operands as temperature_np(hr).
+    """
+    p = params or PARAMS.get(curve)
+    key = (curve, tuple(sorted((p or {}).items())))
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        hrs = np.arange(HOURS_PER_PERIOD, dtype=np.float64)
+        lut = response_np(curve, temperature_np(EPOCH_UNIX + hrs * HOUR), p)
+        _LUT_CACHE[key] = lut
+    return lut
 
 
 def _doc_key_hash(doc_ids: np.ndarray, seed: int) -> np.ndarray:
@@ -158,9 +179,15 @@ def gapfill_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
     hr_rel = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(span)[:-1])), span)
     hr = hr_rel + anchor_first[doc_of_hr]
 
-    # covariate + response over the flat spine
-    t_c = temperature_np((EPOCH_UNIX + hr * HOUR).astype(np.float64))
-    r = response_np(curve, t_c, params or PARAMS.get(curve))
+    # covariate + response over the flat spine. The covariate is
+    # periodic with period 8760 h (seasonal) and 24 | 8760 (diurnal),
+    # and the spine samples integer hours, so response(t(hr)) ==
+    # LUT[hr % 8760] BIT-EXACTLY (integer float64 mod; same sin/exp
+    # inputs). The 70 KB LUT stays cache-resident — this removes the
+    # dominant DRAM passes (sin/exp temporaries) from the hot loop,
+    # which is what lets 32 concurrent workers scale (memory-bandwidth
+    # profile, see tools/bench_scaling.py).
+    r = _response_lut(curve, params)[np.mod(hr, HOURS_PER_PERIOD)]
     doc_start_pos = np.concatenate(([0], np.cumsum(span)[:-1]))
 
     # segment assignment: for each spine hour, the left anchor index
@@ -200,17 +227,26 @@ def gapfill_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
         M = np.zeros((n_segs, width), dtype=np.float64)
         M[seg_ord, pos] = r
         M[np.arange(n_segs), right_pos] = r[pos_in_spine(a_r_s)]
-        cumM = np.cumsum(M, axis=1)
-        in_min_s = cumM[:, 0]
+        cumM = np.cumsum(M, axis=1, out=M)  # in-place: no second matrix
+        in_min_s = cumM[:, 0].copy()
         in_max_s = cumM[np.arange(n_segs), right_pos]
         rng_s = in_max_s - in_min_s
-        cum = cumM[seg_ord, pos]
-        y_l, y_r = y[seg], y[seg + 1]
+        # fused fractional-progress math, minimal temporaries:
+        # frac = (cum - in_min) / rng, with the (rare) flat-response
+        # segments patched to time-linear afterwards
+        value = cumM[seg_ord, pos]  # cum, reused as the output buffer
+        np.subtract(value, in_min_s[seg_ord], out=value)
         with np.errstate(invalid="ignore", divide="ignore"):
-            frac_resp = (cum - in_min_s[seg_ord]) / rng_s[seg_ord]
-        frac_time = pos / np.maximum(right_pos[seg_ord], 1)
-        frac = np.where(rng_s[seg_ord] > 0, frac_resp, frac_time)
-        value = y_l + frac * (y_r - y_l)
+            np.divide(value, rng_s[seg_ord], out=value)
+        flat_segs = np.flatnonzero(~(rng_s > 0))
+        if flat_segs.size:
+            in_flat = np.isin(seg_ord, flat_segs)
+            value[in_flat] = (
+                pos[in_flat] / np.maximum(right_pos[seg_ord[in_flat]], 1)
+            )
+        y_l = y[seg]
+        np.multiply(value, y[seg + 1] - y_l, out=value)
+        np.add(value, y_l, out=value)
 
     is_obs_hr = np.zeros(total, dtype=bool)
     if d.size:

@@ -31,35 +31,49 @@ SEQ_PATH = "/tmp/scaling_seq.parquet"
 TIER_PATH = "/tmp/scaling_tiers"
 
 
-def run_job(cores: int, repeat: int = 3) -> dict:
-    """Flagship job: sequences -> fused gap-fill + 3-tier per-doc rollup
-    (a single narrow pass, no shuffle) -> parquet partitioned by tier."""
+def run_session(cores: int, repeat: int = 2) -> list[float]:
+    """One Spark session at `cores`: warm-up run + `repeat` timed runs of
+    the flagship job (sequences -> fused gap-fill + 3-tier per-doc
+    rollup, a single narrow pass, no shuffle -> parquet by tier)."""
     spark = get_spark(
         f"s2tt_scaling_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
     )
-    best = None
-    for _ in range(repeat):  # best-of-N: isolates steady-state throughput
+    times = []
+    for i in range(repeat + 1):
         t0 = time.perf_counter()
         seq = spark.read.parquet(SEQ_PATH)
-        tiers = gapfill_tiers(seq, knockout=0.1)
-        tiers.write.mode("overwrite").partitionBy("tier").parquet(
-            f"{TIER_PATH}_{cores}"
-        )
+        gapfill_tiers(seq, knockout=0.1).write.mode("overwrite").partitionBy(
+            "tier"
+        ).parquet(f"{TIER_PATH}_{cores}")
         sec = time.perf_counter() - t0
-        if best is None or sec < best:
-            best = sec
-    sec = best
+        if i > 0:  # first run is warm-up (JIT, python workers, page cache)
+            times.append(sec)
+    spark.stop()
+    return times
+
+
+def tier_points(cores: int) -> dict:
+    spark = get_spark("s2tt_scaling_count", master="local[4]")
     stored = spark.read.parquet(f"{TIER_PATH}_{cores}")
     points = {
         r["tier"]: r["c"]
         for r in stored.groupBy("tier").count().withColumnRenamed("count", "c").collect()
     }
-    n_points = sum(points.values())
     n_docs = spark.read.parquet(SEQ_PATH).count()
     spark.stop()
+    return points, n_docs
+
+
+def summarize(cores: int, times: list[float], points: dict, n_docs: int) -> dict:
+    # the sandbox host has minutes-long throttle windows (observed 25x
+    # swings on identical runs), so levels are interleaved A/B/A/B and
+    # the per-level MINIMUM is the steady-state throughput
+    sec = min(times)
+    n_points = sum(points.values())
     return {
         "cores": cores,
         "sec": round(sec, 2),
+        "all_runs_sec": [round(s, 2) for s in times],
         "rolled_points": n_points,
         "points_per_sec": round(n_points / sec, 1),
         "docs_per_sec": round(n_docs / sec, 1),
@@ -79,8 +93,15 @@ def main() -> None:
     ).parquet(SEQ_PATH)
     gen_spark.stop()
 
-    r_low = run_job(low)
-    r_high = run_job(high)
+    # interleave levels (ABAB) so host throttle windows hit both fairly
+    t_low, t_high = [], []
+    for _ in range(3):
+        t_low += run_session(low)
+        t_high += run_session(high)
+    p_low, n_docs_chk = tier_points(low)
+    p_high, _ = tier_points(high)
+    r_low = summarize(low, t_low, p_low, n_docs_chk)
+    r_high = summarize(high, t_high, p_high, n_docs_chk)
     speedup = r_low["sec"] / r_high["sec"]
     ideal = high / low
     out = {
