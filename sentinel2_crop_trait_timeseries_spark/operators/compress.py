@@ -85,19 +85,28 @@ _DOD_BUCKETS = ((7, 0b10, 2), (9, 0b110, 3), (12, 0b1110, 4))
 
 
 def gorilla_encode(ts: Sequence[int], vals: Sequence[float]) -> bytes:
-    """Encode parallel (epoch-second, float64) arrays into one blob."""
+    """Encode parallel (epoch-second, float64) arrays into one blob.
+
+    Timestamps are encoded in auto-detected units (GCD of the deltas):
+    hour-aligned series get delta-of-deltas in hours, so regular hourly
+    data costs 1 bit/point and the reference's 1-11-day gaps fit the
+    small dod buckets instead of the 64-bit fallback. Lossless for any
+    integer timestamps.
+    """
     ts = np.asarray(ts, dtype=np.int64)
     vals = np.asarray(vals, dtype=np.float64)
     n = len(ts)
     if n == 0:
         return struct.pack("<I", 0)
     vbits = vals.view(np.uint64)
-    head = struct.pack("<IqQ", n, int(ts[0]), int(vbits[0]))
     if n == 1:
-        return head
+        return struct.pack("<IqQI", 1, int(ts[0]), int(vbits[0]), 1)
+    raw_deltas = np.diff(ts)
+    unit = int(np.gcd.reduce(np.abs(raw_deltas))) or 1
+    head = struct.pack("<IqQI", n, int(ts[0]), int(vbits[0]), unit)
     w = _BitWriter()
-    # timestamps: dod over deltas (delta_0 vs an implicit 0 previous delta)
-    deltas = np.diff(ts)
+    # timestamps: dod over unit-scaled deltas
+    deltas = raw_deltas // unit
     dods = np.diff(deltas, prepend=deltas[:1] - deltas[0])
     dods[0] = deltas[0]  # first entry stores the first delta itself
     for dod in dods.tolist():
@@ -141,13 +150,13 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     (n,) = struct.unpack_from("<I", blob, 0)
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    t0, v0 = struct.unpack_from("<qQ", blob, 4)
+    t0, v0, unit = struct.unpack_from("<qQI", blob, 4)
     ts = np.empty(n, np.int64)
     vb = np.empty(n, np.uint64)
     ts[0], vb[0] = t0, v0
     if n == 1:
         return ts, vb.view(np.float64)
-    r = _BitReader(blob[20:])
+    r = _BitReader(blob[24:])
     delta = 0
     for i in range(1, n):
         if r.read(1) == 0:
@@ -160,7 +169,7 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
             else:
                 dod = _unzigzag(r.read(64))
         delta += dod
-        ts[i] = ts[i - 1] + delta
+        ts[i] = ts[i - 1] + delta * unit
     prev_lead, prev_len = -1, 0
     for i in range(1, n):
         if r.read(1) == 0:
