@@ -147,3 +147,93 @@ def multimodal_meta(spark, sf_dir):
     iteration are byte-exact."""
     d = _t(spark, sf_dir, "documents")
     return decode_meta(attach_payload(d))
+
+
+def _events_as_sequences(spark, sf_dir):
+    """events -> per-user tokenized sequences (hour-bucketed means),
+    via the engine's exact token codec. doc_id = user_id; values are
+    quantized to 3 dp by the codec on both engines identically."""
+    from sentinel2_crop_trait_timeseries_spark.operators.decode import (
+        encode_sequences,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id"),
+        F.floor(_epoch("ts") / 3600).cast("long").alias("h"),
+    ).agg((F.round(F.avg("value") * 1000) / 1000.0).alias("value"))
+    obs = hourly.select(
+        F.lit("events").alias("source"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.timestamp_seconds(F.col("h") * 3600).alias("ts"),
+        "value",
+    )
+    return encode_sequences(obs)
+
+
+@_q(
+    "token_roundtrip",
+    """
+    WITH hourly AS (
+      SELECT user_id,
+             cast(floor(floor(epoch(ts)) / 3600) AS bigint) AS h,
+             round(avg(value) * 1000) / 1000.0 AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT cast(user_id AS varchar) AS doc_id,
+           count(*) AS n,
+           round(1e-9 + sum(v), 3) AS sum_value,
+           min(h) * 3600 AS first_epoch,
+           max(h) * 3600 AS last_epoch
+    FROM hourly GROUP BY 1
+    """,
+)
+def token_roundtrip(spark, sf_dir):
+    """The per-row token-array invariant, oracle-checked: hour-bucketed
+    event series -> ENCODE into (doc_id, tokens, n_tok, source) ->
+    DECODE back -> aggregate. Matching sums/extents prove the token
+    codec is an exact identity on real data; the oracle aggregates the
+    hourly series directly."""
+    from sentinel2_crop_trait_timeseries_spark.operators.decode import (
+        EPOCH_UNIX,
+        decode_observations,
+    )
+
+    seq = _events_as_sequences(spark, sf_dir)
+    back = decode_observations(seq)
+    return back.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.lit(1e-9) + F.sum("value"), 3).alias("sum_value"),
+        F.min(F.col("ts").cast("long")).alias("first_epoch"),
+        F.max(F.col("ts").cast("long")).alias("last_epoch"),
+    )
+
+
+@_q("enkf_assimilate_events", None)
+def enkf_assimilate_events(spark, sf_dir):
+    """EnKF assimilation over event-derived sequences (no SQL oracle:
+    sequential ensemble recursion; driver records rows-only)."""
+    from sentinel2_crop_trait_timeseries_spark.operators.enkf import (
+        enkf_assimilate,
+    )
+
+    seq = _events_as_sequences(spark, sf_dir)
+    res = enkf_assimilate(seq, n_sim=20)
+    return res.select(
+        "doc_id", "pos",
+        F.round(F.col("assim_mean"), 4).alias("assim_mean"),
+        F.round(F.col("assim_std"), 4).alias("assim_std"),
+    )
+
+
+@_q("fit_sigmoid_events", None)
+def fit_sigmoid_events(spark, sf_dir):
+    """Per-doc batched-LM sigmoid fit over event-derived sequences
+    (no SQL oracle: iterative NLS; driver records rows-only)."""
+    from sentinel2_crop_trait_timeseries_spark.operators.fit import fit_sigmoid
+
+    seq = _events_as_sequences(spark, sf_dir)
+    return fit_sigmoid(seq).select(
+        "doc_id", "n_obs", "status",
+        F.round("fit_rmse", 4).alias("fit_rmse"),
+    )
