@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB
+(pushdown, pruning, partial aggregation, broadcast joins, shuffle
+counts) asserted on the executed plans, so a refactor that silently
+degrades a plan fails CI."""
+
+import re
+
+import pytest
+
+from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES
+from sentinel2_crop_trait_timeseries_spark.operators.gapfill import gapfill_tiers
+from sentinel2_crop_trait_timeseries_spark.sources.gen import generate_sequences
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return QUERIES[name]["fn"](spark, SF)._jdf.queryExecution()
+
+
+def _executed(spark, name):
+    return _plan(spark, name).executedPlan().toString()
+
+
+def _formatted(spark, name):
+    qe = _plan(spark, name)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+def test_pricing_summary_pushdown_pruning_partial_agg(spark):
+    fmt = _formatted(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in fmt  # predicate reaches the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", fmt)
+    cols = m.group(1)
+    assert "l_comment" not in cols and "l_orderkey" not in cols  # pruned
+    plan = _executed(spark, "pricing_summary")
+    assert "partial_" in plan  # map-side combine
+    assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)
+
+
+def test_star_join_is_all_broadcast(spark):
+    plan = _executed(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan  # fact table is never shuffled to join
+
+
+def test_asof_join_has_no_join_operator(spark):
+    plan = _executed(spark, "asof_join_signup")
+    assert "Join" not in plan  # last-ignore-nulls window, not a range join
+    assert plan.count("Exchange") == 1  # single keyed shuffle
+
+
+def test_rollups_aggregate_map_side(spark):
+    for name in ("rollup_hourly", "rollup_daily_cascade", "continuous_agg_daily"):
+        plan = _executed(spark, name)
+        assert "partial_" in plan, name
+
+
+def test_fused_tiers_shuffle_free(spark):
+    seq = generate_sequences(spark, 10, partitions=2)
+    plan = gapfill_tiers(seq)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ann_broadcasts_queries(spark):
+    plan = _executed(spark, "ann_topk_bruteforce")
+    assert "Broadcast" in plan  # query set broadcast, corpus stays put
+
+
+def test_lsh_band_join_is_equijoin(spark):
+    plan = _executed(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # banding = hash equi-join
