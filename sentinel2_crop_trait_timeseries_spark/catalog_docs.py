@@ -332,12 +332,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     scored = shared.join(ca, "doc_a").join(cb, "doc_b").select(
         "doc_a", "doc_b", jac.alias("jac")
     )
-    w = Window.orderBy(F.desc("jac"), "doc_a", "doc_b")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("doc_a", "doc_b", "jac")
-    )
+    # global top-k as orderBy+limit -> TakeOrderedAndProject: each
+    # partition keeps its local top-20, the driver merges — no
+    # single-partition global sort (the Window.orderBy() trap)
+    return scored.orderBy(F.desc("jac"), "doc_a", "doc_b").limit(20)
 
 
 _MINHASH_K = 8  # 2 bands x 4 rows (4-row bands keep candidate selectivity high)
@@ -502,12 +500,11 @@ def dedup_embedding_cosine(spark, sf_dir):
         + _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
         4,
     )
-    w = Window.orderBy(F.desc("cos"), "doc_a", "doc_b")
+    # distributed top-k (TakeOrderedAndProject), not a global window sort
     return (
         j.select("doc_a", "doc_b", cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("doc_a", "doc_b", "cos")
+        .orderBy(F.desc("cos"), "doc_a", "doc_b")
+        .limit(20)
     )
 
 
