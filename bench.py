@@ -41,6 +41,13 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "daily_spine_zerofill",
+    # training-data pipeline + engine-operator paths
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality_score",
+    "token_roundtrip",
+    "gorilla_roundtrip",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -75,3 +75,63 @@ def run_file_stream_once(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------
+# Custom stateful operator: running per-key accumulation across
+# micro-batches (applyInPandasWithState)
+# ---------------------------------------------------------------------
+
+import pandas as pd  # noqa: E402
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: E402
+
+RUNNING_SCHEMA = "user_id long, n long, sum_value double"
+RUNNING_STATE = "n long, sum_value double"
+
+
+def running_totals(stream: DataFrame, key: str = "user_id",
+                   value_col: str = "value") -> DataFrame:
+    """Stateful streaming accumulator: per-key running (count, sum)
+    carried across micro-batches in GroupState — the engine's analog of
+    the reference's obs-to-obs sequential state (EnKF analysis carried
+    to the next segment, SURVEY.md §2.9). Arrow-batched per group; the
+    state is a 2-number tuple, so state size is O(keys), bounded.
+    """
+
+    def update(key_tuple, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key_tuple[0]], "n": [n], "sum_value": [s]})
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_stream_once(spark: SparkSession, input_dir: str,
+                             schema, query_name: str = "s2tt_running",
+                             max_files_per_trigger: int = 1) -> DataFrame:
+    """Drive running_totals over a file stream one file per micro-batch
+    (so state genuinely carries across batches); return all updates."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -51,3 +51,32 @@ def test_streaming_equals_batch(spark):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from sentinel2_crop_trait_timeseries_spark.streaming.rollup_stream import (
+        run_stateful_stream_once,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "ts", "value")
+    d = str(tmp_path / "stream_in")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    ev.filter("user_id % 2 = 0").coalesce(1).write.parquet(d)
+    ev.filter("user_id % 2 = 1").coalesce(1).write.mode("append").parquet(d)
+    updates = run_stateful_stream_once(spark, d, schema=ev.schema,
+                                       query_name="t_running")
+    # last update per user == full batch aggregate (state carried over)
+    up = updates.toPandas()
+    final = up.loc[up.groupby("user_id")["n"].idxmax()]
+    got = {
+        int(r.user_id): (int(r.n), round(r.sum_value, 6))
+        for r in final.itertuples()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
