@@ -67,3 +67,19 @@ def test_encode_is_exact_inverse(spark):
     orig = seq.toPandas().sort_values("doc_id")
     for a, b in zip(orig["tokens"], re_enc["tokens"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_arrow_decode_equals_column_decode(spark):
+    from sentinel2_crop_trait_timeseries_spark.operators.decode import (
+        decode_observations,
+        decode_observations_arrow,
+    )
+    from sentinel2_crop_trait_timeseries_spark.sources.gen import (
+        generate_sequences,
+    )
+
+    seq = generate_sequences(spark, 150, partitions=4)
+    a = decode_observations(seq)
+    b = decode_observations_arrow(seq)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
