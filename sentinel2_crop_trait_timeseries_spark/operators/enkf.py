@@ -171,3 +171,69 @@ def enkf_assimilate(seq: DataFrame, curve: str = "asymptotic",
                                  proc_unc=proc_unc, seed=seed)
 
     return seq.mapInPandas(fn, schema=ENKF_SCHEMA)
+
+
+def reconstruct_assimilated(seq: DataFrame, curve: str = "asymptotic",
+                            params: dict | None = None, n_sim: int = 50,
+                            obs_unc: float = 0.1, proc_unc: float = 0.05,
+                            knockout: float = 0.0, seed: int = 42,
+                            tiers: bool = False) -> DataFrame:
+    """Full reference pipeline A per doc: EnKF assimilation -> drop
+    observations whose assimilated diff is negative
+    (/root/reference/src/04_reconstruct_s2_traits.py:481-502) ->
+    dose-response interpolation between the surviving assimilated
+    anchors. One narrow mapInPandas; with tiers=True the per-doc
+    hourly/daily/weekly rollups are fused in (still shuffle-free).
+
+    Assimilated anchor values are re-quantized through the token codec
+    (1e-3), matching the engine's storage precision.
+    """
+    from typing import Iterator
+
+    from .gapfill import VALUE_SCALE, gapfill_batch, gapfill_tiers_batch
+
+    def rebuild_tokens(res: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        res = res.sort_values(["doc_id", "pos"], kind="mergesort")
+        # monotone filter: keep pos==0 and positive assimilated diffs
+        prev = res.groupby("doc_id")["assim_mean"].shift()
+        keep = res["pos"].eq(0) | (res["assim_mean"] - prev >= 0)
+        res = res[keep]
+        hrs = (
+            res["ts"].astype("datetime64[s]").astype("int64") - EPOCH_UNIX
+        ) // HOUR
+        v = np.round(res["assim_mean"].to_numpy() * VALUE_SCALE).astype(np.int64)
+        rows = []
+        for doc, grp_idx in res.groupby("doc_id", sort=False).indices.items():
+            h = hrs.to_numpy()[grp_idx]
+            dts = np.diff(h, prepend=0)
+            toks = np.empty(2 * len(h), dtype=np.int32)
+            toks[0::2] = dts
+            toks[1::2] = v[grp_idx]
+            rows.append((doc, toks, len(toks)))
+        out = pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok"])
+        src = pdf[["doc_id", "source"]].drop_duplicates("doc_id")
+        return out.merge(src, on="doc_id")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for lo in range(0, len(pdf), 4096):
+                chunk = pdf.iloc[lo:lo + 4096]
+                res = enkf_batch(chunk, curve=curve, params=params,
+                                 n_sim=n_sim, obs_unc=obs_unc,
+                                 proc_unc=proc_unc, seed=seed)
+                toks = rebuild_tokens(res, chunk)
+                # outlier filtering belongs BEFORE assimilation
+                # (reference prepare_lai_ts runs pre-EnKF); the anchors
+                # here are already assimilated, so only interpolate
+                if tiers:
+                    yield gapfill_tiers_batch(toks, curve=curve, params=params,
+                                              knockout=knockout, seed=seed,
+                                              outlier_filter=False)
+                else:
+                    yield gapfill_batch(toks, curve=curve, params=params,
+                                        knockout=knockout, seed=seed,
+                                        outlier_filter=False)
+
+    from .gapfill import DENSE_SCHEMA, TIER_SCHEMA
+
+    return seq.mapInPandas(fn, schema=TIER_SCHEMA if tiers else DENSE_SCHEMA)

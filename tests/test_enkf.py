@@ -65,3 +65,37 @@ def test_spark_partition_invariance(spark):
     b = enkf_assimilate(seq.repartition(5)).orderBy("doc_id", "pos").collect()
     assert a == b
     assert len(a) > 1000
+
+
+def test_reconstruct_assimilated_dense_and_tiers(spark):
+    from sentinel2_crop_trait_timeseries_spark.operators.enkf import (
+        reconstruct_assimilated,
+    )
+
+    seq = generate_sequences(spark, 60, partitions=3).cache()
+    dense = reconstruct_assimilated(seq).toPandas()
+    assert len(dense) > 10000
+    assert np.isfinite(dense["value"]).all()
+    # anchor count per doc matches an independent recomputation of the
+    # reference's SINGLE-PASS diff>=0 filter (vs immediate predecessor,
+    # not vs last survivor — 04_reconstruct_s2_traits.py:481-502)
+    from sentinel2_crop_trait_timeseries_spark.operators.enkf import (
+        enkf_assimilate,
+    )
+
+    res = enkf_assimilate(seq).toPandas().sort_values(["doc_id", "pos"])
+    prev = res.groupby("doc_id")["assim_mean"].shift()
+    keep = res["pos"].eq(0) | (res["assim_mean"] - prev >= 0)
+    want_counts = res[keep].groupby("doc_id").size()
+    got_counts = dense[dense["is_obs"]].groupby("doc_id").size()
+    assert got_counts.sort_index().equals(want_counts.sort_index())
+    assert keep.sum() < len(res)  # the filter actually dropped something
+
+    tiers = reconstruct_assimilated(seq, tiers=True)
+    assert tiers.filter("tier = 'weekly'").count() > 0
+    plan = tiers._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # still a pure narrow pipeline
+
+    a = reconstruct_assimilated(seq.repartition(1)).orderBy("doc_id", "ts")
+    b = reconstruct_assimilated(seq.repartition(6)).orderBy("doc_id", "ts")
+    assert a.collect() == b.collect()
