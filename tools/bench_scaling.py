@@ -31,7 +31,7 @@ SEQ_PATH = "/tmp/scaling_seq.parquet"
 TIER_PATH = "/tmp/scaling_tiers"
 
 
-def run_session(cores: int, repeat: int = 2) -> list[float]:
+def run_session(cores: int, repeat: int = 1) -> list[float]:
     """One Spark session at `cores`: warm-up run + `repeat` timed runs of
     the flagship job (sequences -> fused gap-fill + 3-tier per-doc
     rollup, a single narrow pass, no shuffle -> parquet by tier)."""
@@ -95,7 +95,8 @@ def main() -> None:
 
     # interleave levels (ABAB) so host throttle windows hit both fairly
     t_low, t_high = [], []
-    for _ in range(3):
+    sessions = int(os.environ.get("SCALING_SESSIONS", "2"))
+    for _ in range(sessions):
         t_low += run_session(low)
         t_high += run_session(high)
     p_low, n_docs_chk = tier_points(low)
