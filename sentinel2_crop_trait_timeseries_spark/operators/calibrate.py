@@ -87,11 +87,17 @@ def segment_histograms(obs: DataFrame, max_segments: int = 20000,
     prefix = np.cumsum(onehot, axis=0)
     period_total = prefix[-1]
 
+    # the LUT above is anchored at EPOCH_UNIX: index 0 == the epoch hour.
+    # Segment hours are ABSOLUTE unix hours, so the period phase must be
+    # taken relative to the epoch hour (matching gapfill._response_lut's
+    # hours-since-EPOCH indexing); using raw unix hours would phase-shift
+    # every histogram by EPOCH_HOUR % HOURS_PER_PERIOD (~13 days).
+    epoch_hour = EPOCH_UNIX // HOUR
     H = np.zeros((len(rows), N_BINS))
     dv = np.zeros(len(rows))
     for i, r in enumerate(rows):
         h0, h1 = int(r["h0"]), int(r["h"])
-        full, a = divmod(h0, HOURS_PER_PERIOD)
+        a = (h0 - epoch_hour) % HOURS_PER_PERIOD
         span = h1 - h0
         b = a + span
         wraps, b_rem = divmod(b, HOURS_PER_PERIOD)

@@ -11,10 +11,20 @@ series.
 Execution shape: ``compress_segments`` is a grouped Arrow-batch UDF
 (``applyInPandas`` per partition key) — one blob per (key) group, no
 per-row Python in the relational plan; ``decompress_segments`` is a
-``mapInPandas`` iterator UDF that explodes blobs back to rows. The
-bit-packing loop is per-point Python inside the Arrow batch; series per
-key are small (the reference's are 11-17 obs; rollup series ~2k
-points), so the loop is bounded and the Arrow transfer dominates.
+``mapInPandas`` iterator UDF that explodes blobs back to rows.
+
+Bit-packing is VECTORIZED: the encoder computes every token's
+(value, bit-width) with numpy (bucket selection, leading/trailing-zero
+counts via branchless binary search) and packs the whole bitstream in
+one ``np.packbits`` pass; the only remaining Python loop is the
+value-window reuse scan (a few integer compares per point — the
+Gorilla '10'-control state is inherently sequential). The decoder scans
+token boundaries with cheap list indexing, then extracts ALL payloads
+in one vectorized gather + ``reduceat`` and reconstructs series with
+``cumsum`` / ``bitwise_xor.accumulate``. The scalar reference
+implementation is kept as ``_gorilla_encode_scalar`` /
+``_gorilla_decode_scalar``; a fuzz test pins byte-for-byte equality so
+the on-disk format is provably unchanged.
 
 Encoding (faithful Gorilla layout, 64-bit headers for simplicity):
 - header: uint32 n, int64 t0 (epoch seconds), uint64 raw bits of v0
@@ -84,7 +94,247 @@ def _unzigzag(z: int) -> int:
 _DOD_BUCKETS = ((7, 0b10, 2), (9, 0b110, 3), (12, 0b1110, 4))
 
 
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 arrays (0 -> 0); branchless
+    binary search, no float round-off."""
+    v = x.copy()
+    bl = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl += m.astype(np.int64) * s
+        v = np.where(m, v >> np.uint64(s), v)
+    return bl + (v > 0).astype(np.int64)
+
+
+def _or_by_sorted_key(out: np.ndarray, keys: np.ndarray,
+                      contrib: np.ndarray) -> None:
+    """OR `contrib` into out[keys] where keys is non-decreasing
+    (segmented reduce via bitwise_or.reduceat — no slow ufunc.at)."""
+    if len(keys) == 0:
+        return
+    seg = np.concatenate(([0], 1 + np.flatnonzero(keys[1:] != keys[:-1])))
+    out[keys[seg]] |= np.bitwise_or.reduceat(contrib, seg)
+
+
+def _pack_tokens(vals: np.ndarray, bits: np.ndarray) -> bytes:
+    """MSB-first concatenation of (uint64 value, nbits) tokens into
+    bytes, fully vectorized — semantics identical to _BitWriter (last
+    byte zero-padded at the LSB end). Per-TOKEN word scatter: each
+    token (<=64 bits) lands in at most two big-endian uint64 words."""
+    ends = np.cumsum(bits)
+    total = int(ends[-1]) if len(ends) else 0
+    if total == 0:
+        return b""
+    live = bits > 0
+    b = bits[live]
+    v = vals[live]
+    starts = (ends - bits)[live]
+    # mask value to its width (b in [1,64]): (v << (64-b)) >> (64-b)
+    s = (np.int64(64) - b).astype(np.uint64)
+    v = (v << s) >> s
+    w = starts >> 6                      # word index (sorted)
+    o = (starts & 63).astype(np.int64)   # bit offset inside word
+    rsh = o + b - 64                     # >0 -> token spills to word w+1
+    nwords = (total + 63) >> 6
+    words = np.zeros(nwords + 1, dtype=np.uint64)
+    lo_shift = np.maximum(-rsh, 0).astype(np.uint64)   # in [0,63]
+    hi_shift = np.minimum(np.maximum(rsh, 0), 63).astype(np.uint64)
+    c1 = np.where(rsh <= 0, v << lo_shift, v >> hi_shift)
+    spill = rsh > 0
+    _or_by_sorted_key(words, w, c1)
+    if spill.any():
+        c2 = v[spill] << (np.uint64(64) - rsh[spill].astype(np.uint64))
+        _or_by_sorted_key(words, w[spill] + 1, c2)
+    nbytes = (total + 7) >> 3
+    return words.byteswap().tobytes()[:nbytes]
+
+
+def _extract_payloads(bits: np.ndarray, starts: np.ndarray,
+                      lens: np.ndarray) -> np.ndarray:
+    """Gather variable-length big-endian payloads from an unpacked bit
+    array in one vectorized pass. Zero-length entries decode to 0."""
+    out = np.zeros(len(lens), dtype=np.uint64)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    s, ln = starts[nz], lens[nz]
+    tok = np.repeat(np.arange(len(ln)), ln)
+    local = np.cumsum(ln) - ln
+    off = np.arange(int(ln.sum())) - local[tok]
+    shift = (ln[tok] - 1 - off).astype(np.uint64)
+    contrib = bits[s[tok] + off].astype(np.uint64) << shift
+    out[nz] = np.bitwise_or.reduceat(contrib, local)
+    return out
+
+
+def _zigzag_u64(dods: np.ndarray) -> np.ndarray:
+    """Vectorized zigzag of int64 -> uint64 (wraps exactly like the
+    arbitrary-precision _zigzag for all int64 inputs)."""
+    u = dods.view(np.uint64) if dods.dtype == np.int64 else dods.astype(np.int64).view(np.uint64)
+    sign = (dods >> 63).astype(np.int64).view(np.uint64)
+    return ((u << np.uint64(1)) ^ sign)
+
+
+def _unzigzag_u64(z: np.ndarray) -> np.ndarray:
+    """Vectorized inverse zigzag: uint64 -> int64."""
+    return ((z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))).view(np.int64)
+
+
 def gorilla_encode(ts: Sequence[int], vals: Sequence[float]) -> bytes:
+    """Vectorized encoder — byte-identical to _gorilla_encode_scalar
+    (pinned by test_vectorized_matches_scalar)."""
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    n = len(ts)
+    if n == 0:
+        return struct.pack("<I", 0)
+    vbits = vals.view(np.uint64)
+    if n == 1:
+        return struct.pack("<IqQI", 1, int(ts[0]), int(vbits[0]), 1)
+    raw_deltas = np.diff(ts)
+    unit = int(np.gcd.reduce(np.abs(raw_deltas))) or 1
+    if unit > 0xFFFFFFFF:
+        unit = 1  # header stores uint32; a >136-year GCD falls back to raw seconds
+    head = struct.pack("<IqQI", n, int(ts[0]), int(vbits[0]), unit)
+
+    # --- timestamp tokens: zigzag delta-of-delta with range buckets ---
+    deltas = raw_deltas // unit
+    dods = np.diff(deltas, prepend=deltas[:1] - deltas[0])
+    dods[0] = deltas[0]  # first entry stores the first delta itself
+    z = _zigzag_u64(dods)
+    zero = dods == 0
+    b1 = ~zero & (z < np.uint64(1 << 7))
+    b2 = ~zero & ~b1 & (z < np.uint64(1 << 9))
+    b3 = ~zero & ~b1 & ~b2 & (z < np.uint64(1 << 12))
+    b4 = ~(zero | b1 | b2 | b3)
+    conds = [zero, b1, b2, b3, b4]
+    ctrl_val = np.select(conds, [0, 0b10, 0b110, 0b1110, 0b1111]).astype(np.uint64)
+    ctrl_bits = np.select(conds, [1, 2, 3, 4, 4]).astype(np.int64)
+    pay_bits = np.select(conds, [0, 7, 9, 12, 64]).astype(np.int64)
+    m = n - 1
+    t_vals = np.empty((m, 2), dtype=np.uint64)
+    t_bits = np.empty((m, 2), dtype=np.int64)
+    t_vals[:, 0], t_vals[:, 1] = ctrl_val, z
+    t_bits[:, 0], t_bits[:, 1] = ctrl_bits, pay_bits
+
+    # --- value tokens: XOR chain with window-reuse state scan ---
+    xors = vbits[1:] ^ vbits[:-1]
+    bl = _bitlen_u64(xors)
+    lead = np.minimum(64 - bl, 31)
+    low = xors & (np.uint64(0) - xors)  # isolate lowest set bit
+    trail = _bitlen_u64(low) - 1        # -1 for xor==0 (unused there)
+    mlen = 64 - lead - trail
+    # sequential reuse decision (the only Python loop; O(1) int ops/pt)
+    L, T, M = lead.tolist(), trail.tolist(), mlen.tolist()
+    nz_mask = xors != 0
+    eff_lead = np.empty(m, dtype=np.int64)
+    eff_len = np.empty(m, dtype=np.int64)
+    reuse = np.zeros(m, dtype=bool)
+    pl, pn = -1, 0
+    el, en, ru = eff_lead.tolist(), eff_len.tolist(), [False] * m
+    for i, live in enumerate(nz_mask.tolist()):
+        if live:
+            li, ti = L[i], T[i]
+            if pl >= 0 and li >= pl and ti >= 64 - pl - pn:
+                ru[i] = True
+            else:
+                pl, pn = li, M[i]
+        el[i], en[i] = pl, pn
+    eff_lead = np.array(el, dtype=np.int64)
+    eff_len = np.array(en, dtype=np.int64)
+    reuse = np.array(ru, dtype=bool)
+
+    new = nz_mask & ~reuse
+    v_vals = np.zeros((m, 4), dtype=np.uint64)
+    v_bits = np.zeros((m, 4), dtype=np.int64)
+    # token 0: control ('0' | '10' | '11')
+    v_vals[:, 0] = np.select([~nz_mask, reuse], [0, 0b10], 0b11)
+    v_bits[:, 0] = np.select([~nz_mask], [1], 2)
+    # tokens 1-2: lead(5b) + (mlen-1)(6b), only for 'new window'
+    v_vals[:, 1] = np.where(new, lead.view(np.uint64), 0)
+    v_bits[:, 1] = np.where(new, 5, 0)
+    v_vals[:, 2] = np.where(new, (mlen - 1).view(np.uint64), 0)
+    v_bits[:, 2] = np.where(new, 6, 0)
+    # token 3: meaningful bits, shifted per the effective window
+    shift_amt = np.where(reuse, 64 - eff_lead - eff_len,
+                         np.where(new, trail, 0)).astype(np.uint64)
+    v_vals[:, 3] = np.where(nz_mask, xors >> shift_amt, 0)
+    v_bits[:, 3] = np.where(nz_mask, eff_len, 0)
+
+    all_vals = np.concatenate([t_vals.ravel(), v_vals.ravel()])
+    all_bits = np.concatenate([t_bits.ravel(), v_bits.ravel()])
+    return head + _pack_tokens(all_vals, all_bits)
+
+
+def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decoder: one boundary scan (cheap list indexing), one
+    vectorized payload gather, cumsum/xor-scan reconstruction."""
+    (n,) = struct.unpack_from("<I", blob, 0)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    t0, v0, unit = struct.unpack_from("<qQI", blob, 4)
+    if n == 1:
+        return (np.array([t0], np.int64),
+                np.array([v0], np.uint64).view(np.float64))
+    bits = np.unpackbits(np.frombuffer(blob, np.uint8, offset=24))
+    blist = bits.tolist()
+    m = n - 1
+    pos = 0
+    # --- phase A1: timestamp token boundaries ---
+    t_starts, t_lens = [0] * m, [0] * m
+    for i in range(m):
+        if blist[pos] == 0:
+            pos += 1
+            continue
+        if blist[pos + 1] == 0:
+            plen, pos = 7, pos + 2
+        elif blist[pos + 2] == 0:
+            plen, pos = 9, pos + 3
+        elif blist[pos + 3] == 0:
+            plen, pos = 12, pos + 4
+        else:
+            plen, pos = 64, pos + 4
+        t_starts[i], t_lens[i] = pos, plen
+        pos += plen
+    # --- phase A2: value token boundaries (stateful window) ---
+    v_starts, v_lens, v_shift = [0] * m, [0] * m, [0] * m
+    prev_lead, prev_len = -1, 0
+    for i in range(m):
+        if blist[pos] == 0:
+            pos += 1
+            continue
+        if blist[pos + 1] == 0:  # '10' reuse previous window
+            pos += 2
+        else:                     # '11' + 5b lead + 6b len
+            pos += 2
+            lead_v = 0
+            for j in range(5):
+                lead_v = (lead_v << 1) | blist[pos + j]
+            mlen_v = 0
+            for j in range(5, 11):
+                mlen_v = (mlen_v << 1) | blist[pos + j]
+            pos += 11
+            prev_lead, prev_len = lead_v, mlen_v + 1
+        v_starts[i], v_lens[i] = pos, prev_len
+        v_shift[i] = 64 - prev_lead - prev_len
+        pos += prev_len
+    # --- phase B: vectorized payload extraction ---
+    t_pay = _extract_payloads(bits, np.array(t_starts), np.array(t_lens))
+    v_pay = _extract_payloads(bits, np.array(v_starts), np.array(v_lens))
+    dods = np.where(np.array(t_lens) > 0, _unzigzag_u64(t_pay), 0)
+    xors = v_pay << np.array(v_shift, dtype=np.uint64)
+    xors[np.array(v_lens) == 0] = 0
+    # --- phase C: scans ---
+    ts = np.empty(n, np.int64)
+    ts[0] = t0
+    ts[1:] = t0 + np.cumsum(np.cumsum(dods)) * unit
+    vb = np.bitwise_xor.accumulate(
+        np.concatenate([np.array([v0], np.uint64), xors])
+    )
+    return ts, vb.view(np.float64)
+
+
+def _gorilla_encode_scalar(ts: Sequence[int], vals: Sequence[float]) -> bytes:
     """Encode parallel (epoch-second, float64) arrays into one blob.
 
     Timestamps are encoded in auto-detected units (GCD of the deltas):
@@ -103,6 +353,8 @@ def gorilla_encode(ts: Sequence[int], vals: Sequence[float]) -> bytes:
         return struct.pack("<IqQI", 1, int(ts[0]), int(vbits[0]), 1)
     raw_deltas = np.diff(ts)
     unit = int(np.gcd.reduce(np.abs(raw_deltas))) or 1
+    if unit > 0xFFFFFFFF:
+        unit = 1  # header stores uint32
     head = struct.pack("<IqQI", n, int(ts[0]), int(vbits[0]), unit)
     w = _BitWriter()
     # timestamps: dod over unit-scaled deltas
@@ -145,8 +397,9 @@ def gorilla_encode(ts: Sequence[int], vals: Sequence[float]) -> bytes:
     return head + w.getvalue()
 
 
-def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of gorilla_encode: blob -> (ts int64, vals float64)."""
+def _gorilla_decode_scalar(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of gorilla_encode: blob -> (ts int64, vals float64).
+    Scalar reference implementation (per-bit reader)."""
     (n,) = struct.unpack_from("<I", blob, 0)
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -238,15 +491,17 @@ def decompress_segments(seg: DataFrame, keys: Sequence[str] = ("source", "doc_id
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            frames = []
-            for _, row in pdf.iterrows():
-                ts, vals = gorilla_decode(row["blob"])
-                out = pd.DataFrame({f"{ts_col}_epoch": ts, value_col: vals})
-                for k in keys:
-                    out[k] = row[k]
-                frames.append(out[keys + [f"{ts_col}_epoch", value_col]])
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            decoded = [gorilla_decode(b) for b in pdf["blob"]]
+            if not decoded:
+                continue
+            counts = np.array([len(t) for t, _ in decoded])
+            out = pd.DataFrame({
+                f"{ts_col}_epoch": np.concatenate([t for t, _ in decoded]),
+                value_col: np.concatenate([v for _, v in decoded]),
+            })
+            for k in keys:
+                out[k] = np.repeat(pdf[k].to_numpy(), counts)
+            yield out[keys + [f"{ts_col}_epoch", value_col]]
 
     out = seg.select(*keys, "blob").mapInPandas(decode, schema)
     return out.withColumn(ts_col, F.timestamp_seconds(F.col(f"{ts_col}_epoch")))

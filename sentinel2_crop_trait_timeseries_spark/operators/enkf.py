@@ -194,9 +194,17 @@ def reconstruct_assimilated(seq: DataFrame, curve: str = "asymptotic",
 
     def rebuild_tokens(res: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
         res = res.sort_values(["doc_id", "pos"], kind="mergesort")
-        # monotone filter: keep pos==0 and positive assimilated diffs
+        # monotone filter: the reference forces diff=0 for BOTH the first
+        # and the last measurement point (04_reconstruct_s2_traits.py:
+        # 480-492), so the last observation is always retained as an
+        # interpolation anchor even if its assimilated diff is negative.
         prev = res.groupby("doc_id")["assim_mean"].shift()
-        keep = res["pos"].eq(0) | (res["assim_mean"] - prev >= 0)
+        last_pos = res.groupby("doc_id")["pos"].transform("max")
+        keep = (
+            res["pos"].eq(0)
+            | res["pos"].eq(last_pos)
+            | (res["assim_mean"] - prev >= 0)
+        )
         res = res[keep]
         hrs = (
             res["ts"].astype("datetime64[s]").astype("int64") - EPOCH_UNIX

@@ -11,6 +11,7 @@ from sentinel2_crop_trait_timeseries_spark.functions.response import (
 from sentinel2_crop_trait_timeseries_spark.operators.calibrate import (
     _bin_centers,
     calibrate,
+    segment_histograms,
 )
 from sentinel2_crop_trait_timeseries_spark.sources.gen import EPOCH_UNIX
 
@@ -29,6 +30,27 @@ def _make_obs(n_docs=120, seed=7):
         for hh, vv in zip(h, v):
             rows.append(("s", f"d{d}", hh, vv))
     return pd.DataFrame(rows, columns=["source", "doc_id", "h", "value"])
+
+
+def test_histogram_phase_alignment(spark):
+    """The segment temperature histograms must be phase-aligned with the
+    covariate LUT (anchored at EPOCH_UNIX): evaluating the TRUE response
+    at the bin centers against the histograms must reproduce the
+    observed deltas almost exactly (binning is the only error source).
+    A phase shift of even a few hours makes this error explode (the
+    pre-fix absolute-unix-hour indexing was off by 312 h / ~115%)."""
+    from pyspark.sql import functions as F
+
+    pdf = _make_obs(n_docs=40)
+    obs = spark.createDataFrame(pdf).select(
+        "source", "doc_id",
+        F.timestamp_seconds(F.col("h") * 3600 + EPOCH_UNIX).alias("ts"),
+        "value",
+    )
+    H, dv = segment_histograms(obs, max_segments=600)
+    pred = H @ asymptotic_np(_bin_centers(), **TRUE)
+    rel = float(np.linalg.norm(pred - dv) / np.linalg.norm(dv))
+    assert rel < 0.02
 
 
 def test_recovers_true_response_curve(spark):

@@ -78,14 +78,21 @@ def test_reconstruct_assimilated_dense_and_tiers(spark):
     assert np.isfinite(dense["value"]).all()
     # anchor count per doc matches an independent recomputation of the
     # reference's SINGLE-PASS diff>=0 filter (vs immediate predecessor,
-    # not vs last survivor — 04_reconstruct_s2_traits.py:481-502)
+    # not vs last survivor), with diff forced to 0 for the FIRST and
+    # LAST measurement point so both endpoints are always retained
+    # (04_reconstruct_s2_traits.py:480-502)
     from sentinel2_crop_trait_timeseries_spark.operators.enkf import (
         enkf_assimilate,
     )
 
     res = enkf_assimilate(seq).toPandas().sort_values(["doc_id", "pos"])
     prev = res.groupby("doc_id")["assim_mean"].shift()
-    keep = res["pos"].eq(0) | (res["assim_mean"] - prev >= 0)
+    last_pos = res.groupby("doc_id")["pos"].transform("max")
+    keep = (
+        res["pos"].eq(0)
+        | res["pos"].eq(last_pos)
+        | (res["assim_mean"] - prev >= 0)
+    )
     want_counts = res[keep].groupby("doc_id").size()
     got_counts = dense[dense["is_obs"]].groupby("doc_id").size()
     assert got_counts.sort_index().equals(want_counts.sort_index())

@@ -6,6 +6,8 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from sentinel2_crop_trait_timeseries_spark.operators.compress import (
+    _gorilla_decode_scalar,
+    _gorilla_encode_scalar,
     _unzigzag,
     _zigzag,
     gorilla_decode,
@@ -40,6 +42,29 @@ def test_gorilla_roundtrip_any_series(pairs):
     np.testing.assert_array_equal(ts, ts2)
     # bit-level equality (NaN payloads included)
     np.testing.assert_array_equal(vals.view(np.uint64), v2.view(np.uint64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**7), finite_or_special),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_vectorized_matches_scalar(pairs):
+    """The vectorized codec is BYTE-IDENTICAL to the scalar reference
+    implementation (format unchanged), and both decoders agree."""
+    gaps = np.array([p[0] for p in pairs], dtype=np.int64)
+    ts = np.cumsum(gaps) if len(gaps) else np.empty(0, np.int64)
+    vals = np.array([p[1] for p in pairs], dtype=np.float64)
+    blob_v = gorilla_encode(ts, vals)
+    blob_s = _gorilla_encode_scalar(ts, vals)
+    assert blob_v == blob_s
+    ts_s, v_s = _gorilla_decode_scalar(blob_v)
+    ts_v, v_v = gorilla_decode(blob_v)
+    np.testing.assert_array_equal(ts_s, ts_v)
+    np.testing.assert_array_equal(v_s.view(np.uint64), v_v.view(np.uint64))
 
 
 @settings(max_examples=100, deadline=None)
