@@ -431,9 +431,15 @@ _SIMHASH_BITS = 32
 )
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 32-bit bit-vote signature over the distinct
-    word set; pairs at Hamming distance <= 2. Pair search here is the
-    small-scale all-pairs; the scale path buckets on signature prefixes
-    (same banding idea as MinHash-LSH)."""
+    word set; pairs at Hamming distance <= 2.
+
+    Pair search is EXACT and subquadratic by pigeonhole banding: the
+    signature splits into 4 x 8-bit chunks, and Hamming <= 2 can spoil
+    at most 2 chunks, so every qualifying pair agrees on >= 2 chunks —
+    an equi-join on (chunk_idx, chunk_value) finds all candidates (the
+    same plan shape as MinHash-LSH banding; no all-pairs/BNLJ join,
+    asserted in tests/test_plans.py), then the exact Hamming filter
+    runs only on candidates."""
     d = _t(spark, sf_dir, "documents")
     dw = _words(d, distinct=True)
     # shiftright/shiftleft need per-row shift amounts -> SQL expressions
@@ -454,17 +460,25 @@ def dedup_simhash(spark, sf_dir):
         )
     )
     sig = bits.groupBy("doc_id").agg(F.sum("bit").alias("simhash"))
-    a, b = sig.alias("a"), sig.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS // 8 - 1))).alias("ci"),
+    ).withColumn("chunk", F.expr("shiftright(simhash, ci * 8) & 255"))
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "ci", "chunk"
     )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "ci", "chunk"
+    )
+    cand = (
+        a.join(b, ["ci", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= 2)
     )
 
@@ -488,13 +502,44 @@ def dedup_simhash(spark, sf_dir):
     ) WHERE rn <= 20
     """,
 )
-def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup: top-20 most-similar pairs by cosine.
-    All-pairs here (500 vecs); ann_lsh_bucketed is the scale path."""
+def dedup_embedding_cosine(spark, sf_dir, n_blocks: int = 8):
+    """Embedding-cosine near-dup: top-20 most-similar pairs by exact
+    cosine over ALL pairs.
+
+    Exact global pair-top-k is inherently O(n^2) comparisons; the scale
+    plan here is the canonical BLOCK TRIANGLE JOIN: rows get a hash
+    block in [0,B), each row is replicated to the (B+1) block-pairs it
+    participates in, and the pair space is covered exactly once by a
+    shuffle EQUI-join on the (p1, p2) block-pair key. Work distributes
+    evenly over B*(B+1)/2 cells across the cluster — no
+    BroadcastNestedLoop, no driver-side broadcast of the corpus, and
+    the quadratic flops are spread instead of serialized (asserted in
+    tests/test_plans.py). The sign-LSH bucket join (ann_lsh_bucketed)
+    is the APPROXIMATE scale path when exactness can be traded for
+    subquadratic candidates; this query keeps exact semantics so it
+    hash-matches the all-pairs oracle."""
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
-    j = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    B = n_blocks
+    base = e.select(
+        "vec_id", "embedding", F.pmod(F.hash("vec_id"), F.lit(B)).alias("blk")
+    )
+    left = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("blk").alias("p1"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("p2"),
+    )
+    right = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("p1"),
+        F.col("blk").alias("p2"),
+    )
+    # (u,v) with blocks (bu<bv) meets exactly once at key (bu,bv);
+    # same-block pairs meet twice and the id order filter keeps one
+    pairs = left.join(right, ["p1", "p2"]).filter(
+        (F.col("p1") != F.col("p2")) | (F.col("id_a") < F.col("id_b"))
+    )
     cos = F.round(
         F.lit(1e-9)
         + _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
@@ -502,7 +547,11 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
     # distributed top-k (TakeOrderedAndProject), not a global window sort
     return (
-        j.select("doc_a", "doc_b", cos.alias("cos"))
+        pairs.select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            cos.alias("cos"),
+        )
         .orderBy(F.desc("cos"), "doc_a", "doc_b")
         .limit(20)
     )

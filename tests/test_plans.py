@@ -74,3 +74,19 @@ def test_lsh_band_join_is_equijoin(spark):
     plan = _executed(spark, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan  # banding = hash equi-join
+
+
+def test_simhash_banding_is_equijoin(spark):
+    """Hamming<=2 pair search rides a (chunk_idx, chunk_value)
+    equi-join (pigeonhole banding), never an all-pairs join."""
+    plan = _executed(spark, "dedup_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_cosine_block_triangle_is_equijoin(spark):
+    """Exact all-pairs cosine rides the block triangle join: a shuffle
+    equi-join on the block-pair key, not BNLJ/cartesian."""
+    plan = _executed(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
