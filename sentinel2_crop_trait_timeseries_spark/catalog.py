@@ -946,6 +946,458 @@ def gapfill_linear(spark, sf_dir):
     ).distinct()
 
 
+# =====================================================================
+# Curve x granularity cross product (reference runs 3 response curves x
+# {hourly, daily} covariates — 04_reconstruct_s2_traits.py:623-632).
+# gapfill_wang_engels pins the trickiest boundary semantics (outside
+# [xmin,xmax] -> 0, SURVEY §2.10); the daily variant pins the
+# resample('D').mean() covariate downsample (:396-397) feeding the fill.
+# =====================================================================
+
+import math  # noqa: E402
+
+from sentinel2_crop_trait_timeseries_spark.functions.response import (  # noqa: E402
+    PARAMS_BY_GRANULARITY,
+)
+
+# full seasonal+diurnal covariate (temperature_np), on an integer-hour
+# column named {h}: both engines use C-style % (sign of dividend), and
+# h is always positive here, so the phases agree bit-for-bit
+_T_OF_H_SQL = (
+    "(10 + 12*sin(2*pi()*((({h} - 455832) % 8760)/8760.0 - 0.25))"
+    " + 4*sin(2*pi()*(({h} % 24)/24.0 - 0.3)))"
+)
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _t_of_h_col(h) -> F.Column:
+    hh = h if not isinstance(h, str) else F.col(h)
+    return (
+        F.lit(10.0)
+        + 12.0 * F.sin(F.lit(_TWO_PI) * (((hh - 455832) % 8760) / 8760.0 - 0.25))
+        + 4.0 * F.sin(F.lit(_TWO_PI) * ((hh % 24) / 24.0 - 0.3))
+    )
+
+
+_WE = PARAMS_BY_GRANULARITY["hourly"]["wang_engels"]
+_WE_DEN = _WE["xopt"] - _WE["xmin"]
+_WE_ALPHA = math.log(2.0) / math.log((_WE["xmax"] - _WE["xmin"]) / _WE_DEN)
+
+_GAPFILL_WE_SQL = f"""
+    WITH anchors AS (
+      SELECT user_id, cast(floor(floor(epoch(ts))/3600) AS bigint) AS h,
+             avg(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT user_id, h AS h0, v AS v0,
+             coalesce(lead(h) OVER w, h) AS h1,
+             coalesce(lead(v) OVER w, v) AS v1
+      FROM anchors WINDOW w AS (PARTITION BY user_id ORDER BY h)
+    ),
+    spine AS (
+      SELECT user_id, h0, v0, h1, v1, unnest(generate_series(h0, h1)) AS h
+      FROM seg
+    ),
+    tt AS (
+      SELECT *, {_T_OF_H_SQL.format(h='h')} AS t FROM spine
+    ),
+    resp AS (
+      SELECT user_id, h0, v0, h1, v1, h,
+             CASE WHEN t >= {_WE['xmin']!r} AND t <= {_WE['xmax']!r}
+                  THEN pow((t - {_WE['xmin']!r}) / {_WE_DEN!r}, {_WE_ALPHA!r})
+                       * (2 - pow((t - {_WE['xmin']!r}) / {_WE_DEN!r}, {_WE_ALPHA!r}))
+                  ELSE 0.0 END AS r
+      FROM tt
+    ),
+    cum AS (
+      SELECT user_id, h0, v0, h1, v1, h, r,
+             sum(r) OVER (PARTITION BY user_id, h0 ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             first_value(r) OVER (PARTITION BY user_id, h0 ORDER BY h) AS in_min_r,
+             sum(r) OVER (PARTITION BY user_id, h0) AS in_max
+      FROM resp
+    )
+    SELECT DISTINCT user_id, h * 3600 AS bucket_ts,
+           round(1e-9 + CASE WHEN in_max - in_min_r > 0
+                 THEN v0 + (c - in_min_r) / (in_max - in_min_r) * (v1 - v0)
+                 ELSE v0 + (h - h0) * 1.0 / greatest(h1 - h0, 1) * (v1 - v0)
+                 END, 4) AS value
+    FROM cum
+"""
+
+
+@_q("gapfill_wang_engels", _GAPFILL_WE_SQL)
+def gapfill_wang_engels(spark, sf_dir):
+    """Dose-response gap-fill with the Wang-Engels curve at the
+    reference's HOURLY fitted parameters (xmax - xopt = 0.13 C, so the
+    upper boundary -> 0 clamp is actually exercised by the seasonal
+    covariate, and winter temperatures below xmin give all-zero
+    segments that pin the time-linear fallback). Uses the normalized
+    overflow-free form t^a*(2-t^a) — the reference's own formula
+    overflows float64 at these parameters (see functions/response.py).
+    """
+    ev = _t(spark, sf_dir, "events")
+    anchors = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.floor(_epoch("ts") / 3600).cast("long").alias("h")
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    w = Window.partitionBy("user_id").orderBy("h")
+    seg = anchors.select(
+        "user_id",
+        F.col("h").alias("h0"),
+        F.col("v").alias("v0"),
+        F.coalesce(F.lead("h").over(w), F.col("h")).alias("h1"),
+        F.coalesce(F.lead("v").over(w), F.col("v")).alias("v1"),
+    )
+    spine = seg.select("*", F.explode(F.sequence("h0", "h1")).alias("h"))
+    t = _t_of_h_col("h")
+    ta = F.pow((t - _WE["xmin"]) / F.lit(_WE_DEN), F.lit(_WE_ALPHA))
+    r = F.when(
+        (t >= _WE["xmin"]) & (t <= _WE["xmax"]), ta * (F.lit(2.0) - ta)
+    ).otherwise(F.lit(0.0))
+    resp = spine.withColumn("r", r)
+    wc = (
+        Window.partitionBy("user_id", "h0")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("user_id", "h0")
+    wf = Window.partitionBy("user_id", "h0").orderBy("h")
+    cum = resp.select(
+        "user_id", "h0", "v0", "h1", "v1", "h",
+        F.sum("r").over(wc).alias("c"),
+        F.first("r").over(wf).alias("in_min_r"),
+        F.sum("r").over(wall).alias("in_max"),
+    )
+    rng = F.col("in_max") - F.col("in_min_r")
+    frac_resp = (F.col("c") - F.col("in_min_r")) / rng
+    frac_time = (F.col("h") - F.col("h0")) / F.greatest(
+        F.col("h1") - F.col("h0"), F.lit(1)
+    )
+    val = F.col("v0") + F.when(rng > 0, frac_resp).otherwise(frac_time) * (
+        F.col("v1") - F.col("v0")
+    )
+    return cum.select(
+        "user_id",
+        (F.col("h") * 3600).alias("bucket_ts"),
+        F.round(F.lit(1e-9) + val, 4).alias("value"),
+    ).distinct()
+
+
+_AS_D = PARAMS_BY_GRANULARITY["daily"]["asymptotic"]
+
+_GAPFILL_DAILY_SQL = f"""
+    WITH anchors AS (
+      SELECT user_id, cast(floor(floor(epoch(ts))/86400) AS bigint) AS d,
+             avg(value) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT user_id, d AS d0, v AS v0,
+             coalesce(lead(d) OVER w, d) AS d1,
+             coalesce(lead(v) OVER w, v) AS v1
+      FROM anchors WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ),
+    spine AS (
+      SELECT user_id, d0, v0, d1, v1, unnest(generate_series(d0, d1)) AS d
+      FROM seg
+    ),
+    tt AS (
+      SELECT *, list_aggregate(list_transform(generate_series(0, 23),
+                  k -> {_T_OF_H_SQL.format(h='(d*24 + k)')}), 'sum') / 24.0 AS t
+      FROM spine
+    ),
+    resp AS (
+      SELECT user_id, d0, v0, d1, v1, d,
+             greatest(0.0, {_AS_D['Asym']!r} * (1 - exp(-exp({_AS_D['lrc']!r})
+               * (t - {_AS_D['c0']!r})))) AS r
+      FROM tt
+    ),
+    cum AS (
+      SELECT user_id, d0, v0, d1, v1, d, r,
+             sum(r) OVER (PARTITION BY user_id, d0 ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             first_value(r) OVER (PARTITION BY user_id, d0 ORDER BY d) AS in_min_r,
+             sum(r) OVER (PARTITION BY user_id, d0) AS in_max
+      FROM resp
+    )
+    SELECT DISTINCT user_id, d * 86400 AS bucket_ts,
+           round(1e-9 + CASE WHEN in_max - in_min_r > 0
+                 THEN v0 + (c - in_min_r) / (in_max - in_min_r) * (v1 - v0)
+                 ELSE v0 + (d - d0) * 1.0 / greatest(d1 - d0, 1) * (v1 - v0)
+                 END, 4) AS value
+    FROM cum
+"""
+
+
+@_q("gapfill_asymptotic_daily", _GAPFILL_DAILY_SQL)
+def gapfill_asymptotic_daily(spark, sf_dir):
+    """Daily-granularity gap-fill: the covariate is downsampled to the
+    DAILY MEAN before the response (the reference's
+    meteo.resample('D').mean(), 04_reconstruct_s2_traits.py:396-397),
+    with the reference's daily asymptotic fit. The 24-hour mean is a
+    JVM-side higher-order fold (aggregate over sequence(0,23)) — no
+    explode, no Python; both engines fold k ascending."""
+    ev = _t(spark, sf_dir, "events")
+    anchors = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.floor(_epoch("ts") / 86400).cast("long").alias("d")
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    seg = anchors.select(
+        "user_id",
+        F.col("d").alias("d0"),
+        F.col("v").alias("v0"),
+        F.coalesce(F.lead("d").over(w), F.col("d")).alias("d1"),
+        F.coalesce(F.lead("v").over(w), F.col("v")).alias("v1"),
+    )
+    spine = seg.select("*", F.explode(F.sequence("d0", "d1")).alias("d"))
+    t_day = (
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(23)),
+            F.lit(0.0),
+            lambda acc, k: acc + _t_of_h_col(F.col("d") * 24 + k),
+        )
+        / 24.0
+    )
+    r = F.greatest(
+        F.lit(0.0),
+        _AS_D["Asym"]
+        * (F.lit(1.0) - F.exp(-math.exp(_AS_D["lrc"]) * (t_day - _AS_D["c0"]))),
+    )
+    resp = spine.withColumn("r", r)
+    wc = (
+        Window.partitionBy("user_id", "d0")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("user_id", "d0")
+    wf = Window.partitionBy("user_id", "d0").orderBy("d")
+    cum = resp.select(
+        "user_id", "d0", "v0", "d1", "v1", "d",
+        F.sum("r").over(wc).alias("c"),
+        F.first("r").over(wf).alias("in_min_r"),
+        F.sum("r").over(wall).alias("in_max"),
+    )
+    rng = F.col("in_max") - F.col("in_min_r")
+    frac_resp = (F.col("c") - F.col("in_min_r")) / rng
+    frac_time = (F.col("d") - F.col("d0")) / F.greatest(
+        F.col("d1") - F.col("d0"), F.lit(1)
+    )
+    val = F.col("v0") + F.when(rng > 0, frac_resp).otherwise(frac_time) * (
+        F.col("v1") - F.col("v0")
+    )
+    return cum.select(
+        "user_id",
+        (F.col("d") * 86400).alias("bucket_ts"),
+        F.round(F.lit(1e-9) + val, 4).alias("value"),
+    ).distinct()
+
+
+# =====================================================================
+# Broadcast-LUT inversion (reference: per-pixel inversion against a
+# pickled 50k-row LUT keeping the n smallest-cost solutions and taking
+# the median trait — /root/reference/src/02_extract_s2_traits.py:99-160)
+# =====================================================================
+
+_LUT_K = 2000
+_LUT_DIMS = 8
+_LUT_TOPN = 5
+
+_LUT_SQL = f"""
+    WITH lut AS (
+      SELECT i AS lut_id,
+             list_transform(generate_series(0, {_LUT_DIMS - 1}),
+                            j -> 2*sin(i*0.37 + j*1.3)) AS spec,
+             round(i*0.01, 2) AS trait
+      FROM range({_LUT_K}) t(i)
+    ),
+    e AS (SELECT vec_id, embedding[1:{_LUT_DIMS}] AS emb FROM embeddings),
+    scored AS (
+      SELECT vec_id, lut_id, trait,
+             round(1e-9 + sqrt(list_aggregate(
+               list_transform(generate_series(1, {_LUT_DIMS}),
+                 j -> (cast(emb[j] AS DOUBLE) - spec[j])
+                    * (cast(emb[j] AS DOUBLE) - spec[j])), 'sum')
+               / {_LUT_DIMS}), 4) AS cost
+      FROM e, lut
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cost, lut_id) AS rank
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rank <= {_LUT_TOPN}),
+    med AS (
+      SELECT vec_id, round(1e-9 + quantile_cont(trait, 0.5), 4) AS est_trait
+      FROM top GROUP BY 1
+    )
+    SELECT t.vec_id, t.rank, t.lut_id, t.cost, m.est_trait
+    FROM top t JOIN med m USING (vec_id)
+"""
+
+
+@_q("lut_inversion_topk", _LUT_SQL)
+def lut_inversion_topk(spark, sf_dir):
+    """Per-row inversion against a broadcast synthetic LUT: score every
+    (row, LUT-entry) pair, keep the n smallest-cost solutions per row,
+    estimate the trait as their median — the reference's per-pixel
+    RTM inversion shape. Scale plan: the LUT is the SMALL side and is
+    broadcast (map-side cross join, corpus never shuffles); the top-k
+    is a per-key window; the median join is a broadcast back-join.
+    Ranking orders on the ROUNDED cost + lut_id so a 1-ulp cross-engine
+    pow/sqrt wobble cannot flip a rank."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, _LUT_DIMS).alias("emb")
+    )
+    lut = (
+        spark.range(_LUT_K)
+        .select(
+            F.col("id").alias("lut_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_LUT_DIMS - 1)),
+                lambda j: 2.0 * F.sin(F.col("id") * 0.37 + j * 1.3),
+            ).alias("spec"),
+            F.round(F.col("id") * 0.01, 2).alias("trait"),
+        )
+    )
+    scored = e.crossJoin(F.broadcast(lut)).select(
+        "vec_id", "lut_id", "trait",
+        F.round(
+            F.lit(1e-9)
+            + F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("emb"), F.col("spec"),
+                        lambda x, s: (x.cast("double") - s) * (x.cast("double") - s),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / _LUT_DIMS
+            ),
+            4,
+        ).alias("cost"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("cost", "lut_id")
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _LUT_TOPN
+    )
+    med = top.groupBy("vec_id").agg(
+        F.round(F.lit(1e-9) + F.expr("percentile(trait, 0.5)"), 4).alias("est_trait")
+    )
+    return top.join(F.broadcast(med), "vec_id").select(
+        "vec_id", "rank", "lut_id", "cost", "est_trait"
+    )
+
+
+# =====================================================================
+# Scalar-surface closers: FULL OUTER multi-key join + to_utc_timestamp
+# + create_map literal lookup + grid-snap fuzzy dedup in one contract
+# query (reference sites: 04_reconstruct_s2_traits.py:346-350 outer
+# merge; 03_generate_raw_s2_trait_trajectories.py:178-180 tz ops;
+# 01_extract_s2_data.py:273-276 dict map; 04:356-375 geometry snap)
+# =====================================================================
+
+_SCALAR_SURFACE_SQL = """
+    WITH p AS (
+      SELECT user_id, cast(floor(floor(epoch(ts))/86400) AS bigint) AS d,
+             round(1e-9 + round(1e-9 + sum(value), 6) * 2, 0) / 2 AS spend_bin
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT user_id, cast(floor(floor(epoch(ts))/86400) AS bigint) AS d,
+             count(*) AS views
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT user_id,
+           d * 86400 - 3600 AS utc_ts,
+           CASE cast(spend_bin IS NOT NULL AS INT) * 2
+                + cast(views IS NOT NULL AS INT)
+             WHEN 1 THEN 'views_only' WHEN 2 THEN 'purchases_only'
+             WHEN 3 THEN 'both' END AS status,
+           coalesce(spend_bin, 0.0) AS spend_bin_f,
+           coalesce(views, 0) AS views_f
+    FROM p FULL OUTER JOIN v USING (user_id, d)
+"""
+
+
+@_q("scalar_surface_outer", _SCALAR_SURFACE_SQL)
+def scalar_surface_outer(spark, sf_dir):
+    """FULL OUTER multi-key join of per-day purchase/view aggregates,
+    with three scalar demos on top: the day bucket converted through
+    to_utc_timestamp with a fixed +01:00 zone (verifiable: a -3600 s
+    shift), spend snapped to a 0.5 grid (the reference's <5 m
+    geometry-snap shape, round(x/g)*g), and the side-presence flag
+    decoded through a create_map literal lookup."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(_epoch("ts") / 86400).cast("long").alias("d")
+    # grid snap: round(sum/0.5)*0.5, with the house rounding guard
+    spend_bin = (
+        F.round(F.lit(1e-9) + F.round(F.lit(1e-9) + F.sum("value"), 6) * 2, 0) / 2
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(spend_bin.alias("spend_bin"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("views"))
+    )
+    j = p.join(v, ["user_id", "d"], "full_outer")
+    utc_ts = F.to_utc_timestamp(
+        F.timestamp_seconds(F.col("d") * 86400), "+01:00"
+    ).cast("long")
+    status_map = F.create_map(
+        F.lit(1), F.lit("views_only"),
+        F.lit(2), F.lit("purchases_only"),
+        F.lit(3), F.lit("both"),
+    )
+    flag = (
+        F.when(F.col("spend_bin").isNotNull(), 2).otherwise(0)
+        + F.when(F.col("views").isNotNull(), 1).otherwise(0)
+    )
+    return j.select(
+        "user_id",
+        utc_ts.alias("utc_ts"),
+        status_map[flag].alias("status"),
+        F.coalesce(F.col("spend_bin"), F.lit(0.0)).alias("spend_bin_f"),
+        F.coalesce(F.col("views"), F.lit(0)).alias("views_f"),
+    )
+
+
+@_q(
+    "sample_fraction_bounds",
+    "SELECT 'bernoulli_sample_10pct' AS chk, 1 AS ok",
+)
+def sample_fraction_bounds(spark, sf_dir):
+    """df.sample(fraction, seed) demo (reference subsamples its LUT,
+    02_extract_s2_traits.py:99-100). Bernoulli sampling is
+    seed+engine-specific, so the contract pins the INVARIANT — the
+    sampled fraction lands within [0.07, 0.13] of the corpus — as a
+    boolean the oracle states as a constant."""
+    ev = _t(spark, sf_dir, "events")
+    n_samp = ev.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("n_samp")
+    )
+    n_tot = ev.agg(F.count(F.lit(1)).alias("n_tot"))
+    frac = F.col("n_samp") / F.col("n_tot")
+    return n_samp.crossJoin(n_tot).select(
+        F.lit("bernoulli_sample_10pct").alias("chk"),
+        ((frac >= 0.07) & (frac <= 0.13)).cast("int").alias("ok"),
+    )
+
+
 # register the documents/embeddings training-data pipeline queries
 from sentinel2_crop_trait_timeseries_spark import catalog_docs  # noqa: E402,F401
 from sentinel2_crop_trait_timeseries_spark import catalog_engine  # noqa: E402,F401

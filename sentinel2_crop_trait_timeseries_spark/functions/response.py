@@ -30,11 +30,32 @@ import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Fitted parameters from the reference (hourly granularity, T_mean)
+# Engine default parameters (rounded values of the reference's DAILY
+# T_mean fits; kept verbatim for result compatibility across rounds)
 PARAMS = {
     "non_linear": {"base_temp": -0.119, "slope": 0.00754},
     "asymptotic": {"c0": 2.163, "lrc": -7.393, "Asym": 14.945},
     "wang_engels": {"xmin": 3.156, "xopt": 24.284, "xmax": 25.943},
+}
+
+# Full-precision fitted parameters per covariate granularity, from the
+# reference's parameter CSVs (/root/reference/data/dose_reponse_in-situ/
+# output/parameter_model/<curve>/<curve>_granularity_<g>_parameter_T_mean.csv)
+PARAMS_BY_GRANULARITY = {
+    "hourly": {
+        "non_linear": {"base_temp": 0.556847962136598, "slope": 0.00013682228024424},
+        "asymptotic": {"c0": 4.1837162441442, "lrc": -11.2063343926512,
+                       "Asym": 14.1977752161488},
+        "wang_engels": {"xmin": 3.22246016395989, "xopt": 24.2736772635157,
+                        "xmax": 24.3995243343857},
+    },
+    "daily": {
+        "non_linear": {"base_temp": -0.119195572760026, "slope": 0.00753710959593614},
+        "asymptotic": {"c0": 2.16255439789309, "lrc": -7.39297991895948,
+                       "Asym": 14.9453457281692},
+        "wang_engels": {"xmin": 3.15570825051186, "xopt": 24.283501748142,
+                        "xmax": 25.9432175215174},
+    },
 }
 
 SECONDS_PER_HOUR = 3600
@@ -52,11 +73,20 @@ def asymptotic_np(x: np.ndarray, c0: float, lrc: float, Asym: float) -> np.ndarr
 
 
 def wang_engels_np(x: np.ndarray, xmin: float, xopt: float, xmax: float) -> np.ndarray:
+    """Wang-Engels in the overflow-free normalized form
+    y = t^alpha * (2 - t^alpha), t = (x-xmin)/(xopt-xmin).
+
+    Mathematically identical to the reference's
+    (2*xa^a*oa^a - xa^2a)/oa^2a (temperature_response.py:71-75), but
+    that form overflows float64 when alpha is large: the reference's
+    own HOURLY fit gives alpha ~ 116, where oa^2a ~ 9e307 and x within
+    0.07 C of xmax makes xa^2a = inf -> the reference returns NaN/-inf
+    there. The normalized form keeps t^alpha <= 2 over the support."""
     alpha = np.log(2.0) / np.log((xmax - xmin) / (xopt - xmin))
-    xa = np.where((x >= xmin) & (x <= xmax), x - xmin, 0.0)
-    oa = (xopt - xmin) ** alpha
-    y = (2.0 * xa**alpha * oa - xa ** (2.0 * alpha)) / oa**2
-    return np.where((x >= xmin) & (x <= xmax), y, 0.0)
+    inb = (x >= xmin) & (x <= xmax)
+    t = np.where(inb, (x - xmin) / (xopt - xmin), 0.0)
+    ta = t**alpha
+    return np.where(inb, ta * (2.0 - ta), 0.0)
 
 
 RESPONSE_NP = {
@@ -109,9 +139,11 @@ def response_col(name: str, x: Column, params: dict | None = None) -> Column:
         y = p["Asym"] * (F.lit(1.0) - F.exp(-np.exp(p["lrc"]) * (x - p["c0"])))
         return F.greatest(F.lit(0.0), y)
     if name == "wang_engels":
+        # normalized overflow-free form; see wang_engels_np
         alpha = float(np.log(2.0) / np.log((p["xmax"] - p["xmin"]) / (p["xopt"] - p["xmin"])))
-        oa = float((p["xopt"] - p["xmin"]) ** alpha)
-        xa = x - p["xmin"]
-        y = (2.0 * F.pow(xa, alpha) * oa - F.pow(xa, 2.0 * alpha)) / (oa * oa)
-        return F.when((x >= p["xmin"]) & (x <= p["xmax"]), y).otherwise(0.0)
+        t = (x - p["xmin"]) / (p["xopt"] - p["xmin"])
+        ta = F.pow(t, alpha)
+        return F.when(
+            (x >= p["xmin"]) & (x <= p["xmax"]), ta * (F.lit(2.0) - ta)
+        ).otherwise(0.0)
     raise ValueError(f"unknown response curve: {name}")
