@@ -209,10 +209,235 @@ def token_roundtrip(spark, sf_dir):
     )
 
 
-@_q("enkf_assimilate_events", None)
+# ---------------------------------------------------------------------
+# Full DuckDB SQL oracle for the EnKF: the ensemble recursion as a
+# recursive CTE over a DOUBLE[] state, with the engine's deterministic
+# noise streams (FNV-1a doc key -> splitmix64 -> Box-Muller) replicated
+# in SQL integer arithmetic (64-bit wrap via HUGEINT limb multiplies).
+# Every constant and expression tree mirrors operators/enkf.py
+# enkf_batch; remaining cross-engine fp differences (libm ulps,
+# pairwise-vs-sequential 20-element sums) sit ~1e-12 under the 4-dp
+# rounding guard.
+# ---------------------------------------------------------------------
+
+_M64 = 18446744073709551616  # 2^64
+_GOLD = 0x9E3779B97F4A7C15
+_SM_C2 = 0xBF58476D1CE4E5B9
+_SM_C3 = 0x94D049BB133111EB
+_DEAD = 0xDEADBEEFCAFEF00D
+_A5A5 = 0xA5A5A5A5A5A5A5A5
+_FNV_OFF = 14695981039346656037
+_FNV_PRIME = 1099511628211
+
+
+def _py_sm64(x: int) -> int:
+    """splitmix64 on python ints (for precomputing constants)."""
+    z = (x + _GOLD) % _M64
+    z = ((z ^ (z >> 30)) * _SM_C2) % _M64
+    z = ((z ^ (z >> 27)) * _SM_C3) % _M64
+    return z ^ (z >> 31)
+
+
+def _sql_mul64(a: str, c: int) -> str:
+    """SQL for (a * c) mod 2^64 on a UBIGINT column expression `a` and a
+    python constant c, via 32-bit limbs in HUGEINT (DuckDB raises on
+    UBIGINT overflow instead of wrapping)."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"CAST(((({a}) & 4294967295)::HUGEINT * {cl} + "
+        f"((((({a}) >> 32)::HUGEINT * {cl} + (({a}) & 4294967295)::HUGEINT * {ch})"
+        f" % 4294967296) * 4294967296)) % {_M64} AS UBIGINT)"
+    )
+
+
+def _sm64_steps(x: str, out: str) -> list[tuple[str, str]]:
+    """(alias, expr) stages computing splitmix64({x}) into column {out}.
+    Staged through NESTED SUBQUERIES (see _staged), not lateral column
+    aliases — DuckDB binds lateral aliases by expression substitution,
+    which explodes exponentially when chains reference chains."""
+    return [
+        (f"{out}_z1", f"CAST((({x})::HUGEINT + {_GOLD}) % {_M64} AS UBIGINT)"),
+        (f"{out}_z2", f"xor({out}_z1, {out}_z1 >> 30)"),
+        (f"{out}_z3", _sql_mul64(f"{out}_z2", _SM_C2)),
+        (f"{out}_z4", f"xor({out}_z3, {out}_z3 >> 27)"),
+        (f"{out}_z5", _sql_mul64(f"{out}_z4", _SM_C3)),
+        (out, f"xor({out}_z5, {out}_z5 >> 31)"),
+    ]
+
+
+def _staged(base: str, steps: list[tuple[str, str]]) -> str:
+    """Chain (alias, expr) stages as nested SELECT layers over a base
+    query — every alias becomes a real column, so downstream references
+    are O(1), keeping the bound plan linear in the number of stages."""
+    q = base
+    for alias, expr in steps:
+        q = f"SELECT *, {expr} AS {alias} FROM ({q})"
+    return q
+
+
+def _sql_gauss_expr(u_a: str, u_b: str) -> str:
+    """Box-Muller from two uint64 streams (mirrors enkf._gauss_from_u64:
+    clip the log input at 1e-12; b unclipped)."""
+    return (
+        f"sqrt(-2.0 * ln(greatest(({u_a} >> 11) / 9007199254740992.0, 1e-12)))"
+        f" * cos((2 * pi()) * (({u_b} >> 11) / 9007199254740992.0))"
+    )
+
+
+def _build_enkf_oracle(n_sim: int = 20, obs_unc: float = 0.1,
+                       proc_unc: float = 0.05, seed: int = 42) -> str:
+    sm_seed = _py_sm64(seed)
+    members = ", ".join(
+        f"({m}, CAST({_py_sm64(m)} AS UBIGINT), CAST({_py_sm64(m + 1)} AS UBIGINT))"
+        for m in range(n_sim)
+    )
+    rng = f"generate_series(1, {n_sim})"
+    keys_sql = _staged(
+        f"""SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST({_FNV_OFF} AS UBIGINT),
+                   list_transform(generate_series(1, length(doc_id)),
+                                  i -> CAST(ascii(substr(doc_id, i, 1)) AS UBIGINT))),
+                 (acc, ch) -> {_sql_mul64("xor(acc, ch)", _FNV_PRIME)}) AS fnv
+        FROM (SELECT DISTINCT doc_id FROM obs)""",
+        _sm64_steps(f"xor(fnv, CAST({sm_seed} AS UBIGINT))", "key"),
+    )
+    noise0_sql = _staged(
+        "SELECT kk.doc_id, mm.m, kk.key, mm.smm FROM keys kk CROSS JOIN members mm",
+        _sm64_steps("xor(key, smm)", "u0")
+        + [("unif", "(u0 >> 11) / 9007199254740992.0")],
+    )
+    noisek_steps = (
+        _sm64_steps(
+            f"xor(CAST((key::HUGEINT + kgold) % {_M64} AS UBIGINT), smm1)", "uk"
+        )
+        + _sm64_steps("uk", "ga1")
+        + _sm64_steps(f"xor(uk, CAST({_DEAD} AS UBIGINT))", "gb1")
+        + [("gp", _sql_gauss_expr("ga1", "gb1"))]
+        + _sm64_steps(f"xor(uk, CAST({_A5A5} AS UBIGINT))", "up")
+        + _sm64_steps("up", "ga2")
+        + _sm64_steps(f"xor(up, CAST({_DEAD} AS UBIGINT))", "gb2")
+        + [("go", _sql_gauss_expr("ga2", "gb2"))]
+    )
+    noisek_sql = _staged(
+        """SELECT kk.doc_id, ks.k, mm.m, kk.key, mm.smm1, ks.kgold
+           FROM keys kk
+           JOIN nobs nn USING (doc_id)
+           JOIN ks ON ks.k < nn.n
+           CROSS JOIN members mm""",
+        noisek_steps,
+    )
+    return f"""
+    WITH RECURSIVE
+    hourly AS (
+      SELECT user_id, cast(floor(floor(epoch(ts))/3600) AS bigint) AS h,
+             round(avg(value) * 1000) / 1000.0 AS v
+      FROM events GROUP BY 1, 2
+    ),
+    obs AS MATERIALIZED (
+      SELECT cast(user_id AS varchar) AS doc_id, h - 455832 AS hr, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY h) - 1 AS pos
+      FROM hourly
+    ),
+    nobs AS (SELECT doc_id, count(*) AS n FROM obs GROUP BY 1),
+    keys AS MATERIALIZED ({keys_sql}),
+    lut AS (
+      SELECT hx, greatest(0.0, 14.945 * (1 - exp(-exp(-7.393) *
+               ((10 + 12*sin(2*pi()*((hx % 8760)/8760.0 - 0.25))
+                   + 4*sin(2*pi()*((hx % 24)/24.0 - 0.3))) - 2.163)))) AS r
+      FROM (SELECT unnest(generate_series(0, 8759)) AS hx)
+    ),
+    cumlut AS (
+      SELECT hx + 1 AS i,
+             sum(r) OVER (ORDER BY hx ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c
+      FROM lut
+      UNION ALL SELECT 0, 0.0
+    ),
+    total AS (SELECT c AS s FROM cumlut WHERE i = 8760),
+    seg AS (
+      SELECT doc_id, pos, v AS y, hr,
+             lag(hr) OVER (PARTITION BY doc_id ORDER BY pos) AS hr0
+      FROM obs
+    ),
+    segc AS (
+      SELECT doc_id, pos, y,
+             (hr - hr0) // 8760 AS nfull, hr0 % 8760 AS a,
+             (hr0 % 8760) + ((hr - hr0) - ((hr - hr0) // 8760) * 8760) AS b
+      FROM seg WHERE hr0 IS NOT NULL
+    ),
+    segr AS (
+      SELECT sc.doc_id, sc.pos, sc.y,
+             sc.nfull * t.s
+               + ((CASE WHEN sc.b > 8760 THEN t.s + cb2.c ELSE cb.c END) - ca.c)
+               AS cresp
+      FROM segc sc
+      CROSS JOIN total t
+      JOIN cumlut ca ON ca.i = sc.a
+      JOIN cumlut cb ON cb.i = least(sc.b, 8760)
+      LEFT JOIN cumlut cb2 ON cb2.i = sc.b - 8760
+    ),
+    members(m, smm, smm1) AS (VALUES {members}),
+    noise0 AS ({noise0_sql}),
+    init AS (
+      SELECT n0.doc_id,
+             list(o.v * (1.0 + {obs_unc!r} * (2.0 * n0.unif - 1.0))
+                  ORDER BY n0.m) AS A
+      FROM noise0 n0 JOIN obs o ON o.doc_id = n0.doc_id AND o.pos = 0
+      GROUP BY n0.doc_id
+    ),
+    ks AS (
+      SELECT k, CAST((k::HUGEINT * {_GOLD}) % {_M64} AS UBIGINT) AS kgold
+      FROM (SELECT unnest(generate_series(1,
+              (SELECT max(n) FROM nobs) - 1)) AS k)
+    ),
+    noisek AS ({noisek_sql}),
+    steplists AS (
+      SELECT doc_id, k, list(gp ORDER BY m) AS pg, list(go ORDER BY m) AS og
+      FROM noisek GROUP BY 1, 2
+    ),
+    steps AS MATERIALIZED (
+      SELECT sr.doc_id, sr.pos AS k, sr.y, sr.cresp, sl.pg, sl.og,
+             abs(sr.y) * {obs_unc!r} + 1e-9 AS sd
+      FROM segr sr JOIN steplists sl ON sl.doc_id = sr.doc_id AND sl.k = sr.pos
+    ),
+    rec AS (
+      SELECT doc_id, 0 AS k, A FROM init
+      UNION ALL
+      SELECT doc_id, k, A FROM (
+        SELECT r.doc_id, r.k + 1 AS k,
+               list_transform({rng},
+                 i -> r.A[i] + st.cresp * (1.0 + {proc_unc!r} * st.pg[i])) AS af,
+               list_aggregate(af, 'sum') / {n_sim}.0 AS fm,
+               list_aggregate(list_transform(af, x -> (x - fm) * (x - fm)),
+                              'sum') / {n_sim}.0 AS p,
+               p / (p + st.sd * st.sd) AS kgain,
+               list_transform({rng},
+                 i -> af[i] + kgain * ((st.y + st.sd * st.og[i]) - af[i])) AS A
+        FROM rec r JOIN steps st ON st.doc_id = r.doc_id AND st.k = r.k + 1
+      ) sub
+    )
+    SELECT doc_id, k AS pos,
+           round(1e-9 + mn, 4) AS assim_mean,
+           round(1e-9 + sqrt(vr), 4) AS assim_std
+    FROM (
+      SELECT doc_id, k,
+             list_aggregate(A, 'sum') / {n_sim}.0 AS mn,
+             list_aggregate(list_transform(A, x -> (x - mn) * (x - mn)),
+                            'sum') / {n_sim}.0 AS vr
+      FROM rec
+    )
+    """
+
+
+@_q("enkf_assimilate_events", _build_enkf_oracle(n_sim=20))
 def enkf_assimilate_events(spark, sf_dir):
-    """EnKF assimilation over event-derived sequences (no SQL oracle:
-    sequential ensemble recursion; driver records rows-only)."""
+    """EnKF assimilation over event-derived sequences, with a FULL SQL
+    oracle: DuckDB re-runs the ensemble recursion (recursive CTE over a
+    DOUBLE[] state) including the engine's deterministic noise streams
+    (FNV-1a doc key, splitmix64 via HUGEINT limb arithmetic, Box-Muller)
+    and the periodic prefix-sum response integral — mirroring
+    operators/enkf.py enkf_batch expression-for-expression."""
     from sentinel2_crop_trait_timeseries_spark.operators.enkf import (
         enkf_assimilate,
     )
@@ -221,19 +446,134 @@ def enkf_assimilate_events(spark, sf_dir):
     res = enkf_assimilate(seq, n_sim=20)
     return res.select(
         "doc_id", "pos",
-        F.round(F.col("assim_mean"), 4).alias("assim_mean"),
-        F.round(F.col("assim_std"), 4).alias("assim_std"),
+        F.round(F.lit(1e-9) + F.col("assim_mean"), 4).alias("assim_mean"),
+        F.round(F.lit(1e-9) + F.col("assim_std"), 4).alias("assim_std"),
     )
 
 
 @_q("fit_sigmoid_events", None)
 def fit_sigmoid_events(spark, sf_dir):
     """Per-doc batched-LM sigmoid fit over event-derived sequences
-    (no SQL oracle: iterative NLS; driver records rows-only)."""
+    (no SQL oracle: the LM's data-dependent accept/damp branches make
+    bit-parity across engines unattainable; driver records rows-only.
+    fit_sigmoid_logit below is the hash-verified closed-form twin, and
+    tests/test_fit.py pins the LM numerically)."""
     from sentinel2_crop_trait_timeseries_spark.operators.fit import fit_sigmoid
 
     seq = _events_as_sequences(spark, sf_dir)
     return fit_sigmoid(seq).select(
         "doc_id", "n_obs", "status",
         F.round("fit_rmse", 4).alias("fit_rmse"),
+    )
+
+
+_LOGIT_FIT_SQL = """
+    WITH hourly AS (
+      SELECT user_id, cast(floor(floor(epoch(ts))/3600) AS bigint) AS h,
+             round(avg(value) * 1000) / 1000.0 AS v
+      FROM events GROUP BY 1, 2
+    ),
+    obs AS (SELECT cast(user_id AS varchar) AS doc_id, h, v FROM hourly),
+    ext AS (
+      SELECT doc_id, count(*) AS n, min(h) AS hmin, max(h) AS hmax,
+             min(v) AS vmin, max(v) AS vmax
+      FROM obs GROUP BY 1
+    ),
+    good AS (
+      SELECT *, 0.05 * (vmax - vmin) + 1e-9 AS delta
+      FROM ext WHERE n >= 5 AND vmax > vmin
+    ),
+    xz AS (
+      SELECT o.doc_id, g.n, g.vmin, g.vmax, g.delta, o.v,
+             (o.h - g.hmin) * 1.0 / greatest(g.hmax - g.hmin, 1) AS xx,
+             ln((o.v - (g.vmin - g.delta))
+                / (((g.vmax - g.vmin) + 2 * g.delta)
+                   - (o.v - (g.vmin - g.delta)))) AS zz
+      FROM obs o JOIN good g USING (doc_id)
+    ),
+    fit AS (
+      SELECT doc_id, any_value(n) AS n_obs,
+             regr_slope(zz, xx) AS k, regr_intercept(zz, xx) AS c,
+             any_value(vmin) AS vmin, any_value(vmax) AS vmax,
+             any_value(delta) AS delta
+      FROM xz GROUP BY 1
+    )
+    SELECT f.doc_id, f.n_obs,
+           round(1e-9 + f.k, 4) AS fit_k,
+           round(1e-9 + f.c, 4) AS fit_c,
+           round(1e-9 + sqrt(avg(
+             (((f.vmax - f.vmin) + 2 * f.delta)
+                / (1 + exp(-(f.k * x.xx + f.c)))
+              + (f.vmin - f.delta) - x.v)
+             * (((f.vmax - f.vmin) + 2 * f.delta)
+                / (1 + exp(-(f.k * x.xx + f.c)))
+              + (f.vmin - f.delta) - x.v))), 4) AS fit_rmse
+    FROM fit f JOIN xz x USING (doc_id)
+    GROUP BY f.doc_id, f.n_obs, f.k, f.c
+"""
+
+
+@_q("fit_sigmoid_logit", _LOGIT_FIT_SQL)
+def fit_sigmoid_logit(spark, sf_dir):
+    """Closed-form sigmoid fit by logit linearization, fully
+    oracle-checked: fix the asymptotes from the per-doc value range
+    (b = vmin - d, L = range + 2d, d = 5% margin), transform
+    z = ln((y-b)/(L-(y-b))), and fit z = k*x + c by ordinary least
+    squares (regr_slope / regr_intercept — JVM aggregate expressions,
+    zero Python). fit_rmse evaluates the reconstructed sigmoid against
+    the observations. The deterministic companion to the LM fit
+    (fit_sigmoid_events): same model family, closed form, so DuckDB
+    recomputes it exactly. Surfaces (k, c) rather than x0=-c/k, which
+    is ill-conditioned when k ~ 0."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id"),
+        F.floor(_epoch("ts") / 3600).cast("long").alias("h"),
+    ).agg((F.round(F.avg("value") * 1000) / 1000.0).alias("v"))
+    obs = hourly.select(
+        F.col("user_id").cast("string").alias("doc_id"), "h", "v"
+    )
+    ext = obs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("h").alias("hmin"), F.max("h").alias("hmax"),
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+    )
+    good = ext.filter((F.col("n") >= 5) & (F.col("vmax") > F.col("vmin"))).withColumn(
+        "delta", 0.05 * (F.col("vmax") - F.col("vmin")) + 1e-9
+    )
+    yb = F.col("v") - (F.col("vmin") - F.col("delta"))
+    bigl = (F.col("vmax") - F.col("vmin")) + 2 * F.col("delta")
+    xz = obs.join(F.broadcast(good), "doc_id").select(
+        "doc_id", "n", "vmin", "vmax", "delta", "v",
+        ((F.col("h") - F.col("hmin")) * 1.0
+         / F.greatest(F.col("hmax") - F.col("hmin"), F.lit(1))).alias("xx"),
+        F.log(yb / (bigl - yb)).alias("zz"),
+    )
+    fit = xz.groupBy("doc_id").agg(
+        F.any_value("n").alias("n_obs"),
+        F.regr_slope("zz", "xx").alias("k"),
+        F.regr_intercept("zz", "xx").alias("c"),
+        F.any_value("vmin").alias("vmin"),
+        F.any_value("vmax").alias("vmax"),
+        F.any_value("delta").alias("delta"),
+    )
+    j = xz.select("doc_id", "xx", "v").join(F.broadcast(fit), "doc_id")
+    lfit = (F.col("vmax") - F.col("vmin")) + 2 * F.col("delta")
+    pred = lfit / (1 + F.exp(-(F.col("k") * F.col("xx") + F.col("c")))) + (
+        F.col("vmin") - F.col("delta")
+    )
+    return (
+        j.groupBy("doc_id", "n_obs", "k", "c")
+        .agg(
+            F.round(
+                F.lit(1e-9) + F.sqrt(F.avg((pred - F.col("v")) * (pred - F.col("v")))),
+                4,
+            ).alias("fit_rmse")
+        )
+        .select(
+            "doc_id", "n_obs",
+            F.round(F.lit(1e-9) + F.col("k"), 4).alias("fit_k"),
+            F.round(F.lit(1e-9) + F.col("c"), 4).alias("fit_c"),
+            "fit_rmse",
+        )
     )
