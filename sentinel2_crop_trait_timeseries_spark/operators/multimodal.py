@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,14 +52,26 @@ def decode_meta(df: DataFrame, id_col: str = "doc_id",
     def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
+            # one np.frombuffer view of the concatenated bytes + reduceat
+            # per-payload — no per-row Python over payload contents
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64,
+                               count=len(payloads))
+            blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            starts = np.cumsum(lens) - lens
+            nz = lens > 0
+            checksum = np.zeros(len(lens), dtype=np.int64)
+            first = np.full(len(lens), -1, dtype=np.int32)
+            if nz.any():
+                csum = np.concatenate(([0], np.cumsum(blob, dtype=np.int64)))
+                ends = starts + lens
+                checksum[nz] = csum[ends[nz]] - csum[starts[nz]]
+                first[nz] = blob[starts[nz]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "byte_len": payloads.map(len).astype("int32"),
-                    "first_byte": payloads.map(
-                        lambda b: b[0] if len(b) else -1
-                    ).astype("int32"),
-                    "checksum": payloads.map(lambda b: sum(b)).astype("int64"),
+                    "byte_len": lens.astype("int32"),
+                    "first_byte": first,
+                    "checksum": checksum,
                 }
             )
 

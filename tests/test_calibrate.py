@@ -62,7 +62,7 @@ def test_recovers_true_response_curve(spark):
         F.timestamp_seconds(F.col("h") * 3600 + EPOCH_UNIX).alias("ts"),
         "value",
     )
-    fit = calibrate(obs, n_reps=8, max_segments=2000)
+    fit = calibrate(obs, n_reps=8)
     t = _bin_centers()
     truth = asymptotic_np(t, **TRUE)
     got = asymptotic_np(t, c0=fit["c0"], lrc=fit["lrc"], Asym=fit["Asym"])
