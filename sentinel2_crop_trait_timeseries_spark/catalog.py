@@ -1250,52 +1250,60 @@ def lut_inversion_topk(spark, sf_dir):
     """Per-row inversion against a broadcast synthetic LUT: score every
     (row, LUT-entry) pair, keep the n smallest-cost solutions per row,
     estimate the trait as their median — the reference's per-pixel
-    RTM inversion shape. Scale plan: the LUT is the SMALL side and is
-    broadcast (map-side cross join, corpus never shuffles); the top-k
-    is a per-key window; the median join is a broadcast back-join.
-    Ranking orders on the ROUNDED cost + lut_id so a 1-ulp cross-engine
-    pow/sqrt wobble cannot flip a rank."""
+    RTM inversion shape.
+
+    Scale plan: the LUT is tiny and rides the task closure (the
+    broadcast degenerate); the corpus NEVER shuffles — one narrow
+    mapInPandas where each Arrow batch scores against the whole LUT as
+    dense numpy arrays (the reference's own vectorized inversion shape,
+    02_extract_s2_traits.py:99-160) instead of per-pair interpreted
+    expressions. The squared-difference fold accumulates dimension-by-
+    dimension in the same sequential order as both engines' list folds,
+    and ranking keys on (rounded cost, lut_id) packed into one int64 so
+    a 1-ulp cross-engine wobble cannot flip a rank."""
+    import numpy as np
+    import pandas as pd
+
+    lut_ids = np.arange(_LUT_K, dtype=np.int64)
+    spec = 2.0 * np.sin(
+        lut_ids[:, None] * 0.37 + np.arange(_LUT_DIMS)[None, :] * 1.3
+    )
+    traits = np.round(lut_ids * 0.01, 2)
+
+    def invert(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            # sequential per-dimension accumulation == both engines' fold
+            acc = np.zeros((len(E), _LUT_K))
+            for j in range(_LUT_DIMS):
+                d = E[:, j][:, None] - spec[None, :, j]
+                acc += d * d
+            cost = np.round(1e-9 + np.sqrt(acc / _LUT_DIMS), 4)
+            key = (np.round(cost * 10000).astype(np.int64) * _LUT_K
+                   + lut_ids[None, :])
+            top = np.argsort(key, axis=1)[:, :_LUT_TOPN]
+            rows = np.repeat(pdf["vec_id"].to_numpy(), _LUT_TOPN)
+            sel_cost = np.take_along_axis(cost, top, axis=1)
+            sel_trait = traits[top]
+            est = np.round(1e-9 + np.median(sel_trait, axis=1), 4)
+            yield pd.DataFrame(
+                {
+                    "vec_id": rows,
+                    "rank": np.tile(np.arange(1, _LUT_TOPN + 1), len(E)),
+                    "lut_id": lut_ids[top].ravel(),
+                    "cost": sel_cost.ravel(),
+                    "est_trait": np.repeat(est, _LUT_TOPN),
+                }
+            )
+
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.slice("embedding", 1, _LUT_DIMS).alias("emb")
     )
-    lut = (
-        spark.range(_LUT_K)
-        .select(
-            F.col("id").alias("lut_id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_LUT_DIMS - 1)),
-                lambda j: 2.0 * F.sin(F.col("id") * 0.37 + j * 1.3),
-            ).alias("spec"),
-            F.round(F.col("id") * 0.01, 2).alias("trait"),
-        )
-    )
-    scored = e.crossJoin(F.broadcast(lut)).select(
-        "vec_id", "lut_id", "trait",
-        F.round(
-            F.lit(1e-9)
-            + F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("emb"), F.col("spec"),
-                        lambda x, s: (x.cast("double") - s) * (x.cast("double") - s),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / _LUT_DIMS
-            ),
-            4,
-        ).alias("cost"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("cost", "lut_id")
-    top = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= _LUT_TOPN
-    )
-    med = top.groupBy("vec_id").agg(
-        F.round(F.lit(1e-9) + F.expr("percentile(trait, 0.5)"), 4).alias("est_trait")
-    )
-    return top.join(F.broadcast(med), "vec_id").select(
-        "vec_id", "rank", "lut_id", "cost", "est_trait"
+    return e.mapInPandas(
+        invert,
+        "vec_id bigint, rank int, lut_id bigint, cost double, est_trait double",
     )
 
 

@@ -41,10 +41,16 @@ def _h(col) -> F.Column:
 
 
 def _words(df: DataFrame, distinct: bool = False) -> DataFrame:
-    """(doc_id, w): whitespace-tokenized words, empties dropped."""
+    """(doc_id, w): whitespace-tokenized words, empties dropped.
+
+    distinct=True dedups INSIDE the row (array_distinct before the
+    explode) — per-doc distinctness needs no shuffle, unlike
+    DataFrame.distinct() which would hash-exchange every (doc, word)
+    pair."""
     arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    out = df.select("doc_id", F.explode(arr).alias("w"))
-    return out.distinct() if distinct else out
+    if distinct:
+        arr = F.array_distinct(arr)
+    return df.select("doc_id", F.explode(arr).alias("w"))
 
 
 _SQL_WORDS = """
@@ -442,24 +448,31 @@ def dedup_simhash(spark, sf_dir):
     runs only on candidates."""
     d = _t(spark, sf_dir, "documents")
     dw = _words(d, distinct=True)
-    # shiftright/shiftleft need per-row shift amounts -> SQL expressions
-    vote = F.sum(F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END"))
-    bits = (
-        dw.select(
-            "doc_id",
-            _h("w").alias("h"),
-            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(vote.alias("v"))
+    # one aggregate column per bit instead of exploding 32 rows per word:
+    # the (doc, word) stream shuffles ONCE at its natural size and the 32
+    # bit-votes ride the same map-side partial aggregation
+    hashed = dw.select("doc_id", _h("w").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    sig = (
+        hashed.groupBy("doc_id")
+        .agg(*votes)
         .select(
             "doc_id",
-            F.when(
-                F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
-            ).otherwise(F.lit(0).cast("long")).alias("bit"),
+            sum(
+                [
+                    F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+                    .otherwise(F.lit(0).cast("long"))
+                    for b in range(_SIMHASH_BITS)
+                ],
+                F.lit(0).cast("long"),
+            ).alias("simhash"),
         )
     )
-    sig = bits.groupBy("doc_id").agg(F.sum("bit").alias("simhash"))
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -508,53 +521,72 @@ def dedup_embedding_cosine(spark, sf_dir, n_blocks: int = 8):
 
     Exact global pair-top-k is inherently O(n^2) comparisons; the scale
     plan here is the canonical BLOCK TRIANGLE JOIN: rows get a hash
-    block in [0,B), each row is replicated to the (B+1) block-pairs it
-    participates in, and the pair space is covered exactly once by a
-    shuffle EQUI-join on the (p1, p2) block-pair key. Work distributes
-    evenly over B*(B+1)/2 cells across the cluster — no
-    BroadcastNestedLoop, no driver-side broadcast of the corpus, and
-    the quadratic flops are spread instead of serialized (asserted in
+    block in [0,B), each row is replicated to the (B+1) block-pair
+    cells it participates in, and the pair space is covered exactly
+    once by COGROUPING both sides on the (p1, p2) cell key — two keyed
+    shuffles, then one dense numpy GEMM per cell with a cell-local
+    top-20 (any global top-20 pair lives in some cell's top-20), then a
+    global TakeOrdered. No BroadcastNestedLoop, no per-pair interpreted
+    expressions: the quadratic flops run as blocked matrix multiplies
+    spread evenly over B*(B+1)/2 cells (asserted in
     tests/test_plans.py). The sign-LSH bucket join (ann_lsh_bucketed)
     is the APPROXIMATE scale path when exactness can be traded for
     subquadratic candidates; this query keeps exact semantics so it
     hash-matches the all-pairs oracle."""
+    import numpy as np
+    import pandas as pd
+
     e = _t(spark, sf_dir, "embeddings")
     B = n_blocks
     base = e.select(
         "vec_id", "embedding", F.pmod(F.hash("vec_id"), F.lit(B)).alias("blk")
     )
     left = base.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
+        "vec_id", "embedding",
         F.col("blk").alias("p1"),
         F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("p2"),
     )
     right = base.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
+        "vec_id", "embedding",
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("p1"),
         F.col("blk").alias("p2"),
     )
-    # (u,v) with blocks (bu<bv) meets exactly once at key (bu,bv);
-    # same-block pairs meet twice and the id order filter keeps one
-    pairs = left.join(right, ["p1", "p2"]).filter(
-        (F.col("p1") != F.col("p2")) | (F.col("id_a") < F.col("id_b"))
-    )
-    cos = F.round(
-        F.lit(1e-9)
-        + _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
-        4,
+
+    def cell_topk(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        """One (p1,p2) cell: dense GEMM scoring + cell-local top-20.
+        (u,v) with blocks bu<bv meets exactly once at cell (bu,bv);
+        same-block cells carry both orders, the id filter keeps one."""
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "cos": pd.Series([], dtype="float64")})
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        same = lpdf["p1"].iloc[0] == lpdf["p2"].iloc[0]
+        L = np.stack(lpdf["embedding"].to_numpy()).astype(np.float64)
+        R = np.stack(rpdf["embedding"].to_numpy()).astype(np.float64)
+        il = lpdf["vec_id"].to_numpy()
+        ir = rpdf["vec_id"].to_numpy()
+        nl = np.sqrt((L * L).sum(axis=1))
+        nr = np.sqrt((R * R).sum(axis=1))
+        cos = np.round(1e-9 + (L @ R.T) / (nl[:, None] * nr[None, :]), 4)
+        keep = (il[:, None] < ir[None, :]) if same else np.ones_like(cos, bool)
+        ii, jj = np.nonzero(keep)
+        if len(ii) == 0:
+            return empty
+        a = np.minimum(il[ii], ir[jj])
+        b = np.maximum(il[ii], ir[jj])
+        c = cos[ii, jj]
+        order = np.lexsort((b, a, -c))[:20]
+        return pd.DataFrame({"doc_a": a[order], "doc_b": b[order],
+                             "cos": c[order]})
+
+    cells = (
+        left.groupBy("p1", "p2")
+        .cogroup(right.groupBy("p1", "p2"))
+        .applyInPandas(cell_topk, "doc_a bigint, doc_b bigint, cos double")
     )
     # distributed top-k (TakeOrderedAndProject), not a global window sort
-    return (
-        pairs.select(
-            F.least("id_a", "id_b").alias("doc_a"),
-            F.greatest("id_a", "id_b").alias("doc_b"),
-            cos.alias("cos"),
-        )
-        .orderBy(F.desc("cos"), "doc_a", "doc_b")
-        .limit(20)
-    )
+    return cells.orderBy(F.desc("cos"), "doc_a", "doc_b").limit(20)
 
 
 @_q(
