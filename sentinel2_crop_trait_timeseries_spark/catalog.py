@@ -1406,6 +1406,152 @@ def sample_fraction_bounds(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Spatial nearest-neighbor join via grid-cell bucketing (reference
+# validation/00_validate_s2_glai_observations.py:179-185 sjoin_nearest
+# with max_distance=4.9 m; 04_reconstruct_s2_traits.py:356-375 <5 m
+# snap). Points are synthesized from event ids with integer LCG-style
+# arithmetic so both engines place every point bit-identically; the
+# join buckets both sides into r-sized grid cells and probes only the
+# 3x3 neighborhood — a shuffle equi-join on (cx, cy), never a cross
+# join, which is THE scale plan for spatial NN at 100 TB.
+# =====================================================================
+
+_SNAP_SQL = """
+    WITH pts AS (
+      SELECT event_id, event_type,
+             ((event_id * 48271) % 19997) / 100.0 AS x,
+             ((event_id * 69621) % 19997) / 100.0 AS y
+      FROM events WHERE event_type IN ('signup', 'error')
+    ),
+    l AS (SELECT event_id AS left_id, x, y,
+                 cast(floor(x / 5.0) AS bigint) AS cx,
+                 cast(floor(y / 5.0) AS bigint) AS cy
+          FROM pts WHERE event_type = 'signup'),
+    r AS (SELECT event_id AS right_id, x AS xr, y AS yr,
+                 cast(floor(x / 5.0) AS bigint) AS cx,
+                 cast(floor(y / 5.0) AS bigint) AS cy
+          FROM pts WHERE event_type = 'error'),
+    cand AS (
+      SELECT l.left_id, r.right_id,
+             round(1e-9 + sqrt((l.x - r.xr) * (l.x - r.xr)
+                             + (l.y - r.yr) * (l.y - r.yr)), 4) AS dist
+      FROM l
+      CROSS JOIN (VALUES (-1), (0), (1)) dxs(dx)
+      CROSS JOIN (VALUES (-1), (0), (1)) dys(dy)
+      JOIN r ON l.cx + dxs.dx = r.cx AND l.cy + dys.dy = r.cy
+    )
+    SELECT left_id, right_id, dist FROM (
+      SELECT left_id, right_id, dist,
+             row_number() OVER (PARTITION BY left_id
+                                ORDER BY dist, right_id) AS rk
+      FROM cand WHERE dist <= 4.9
+    ) WHERE rk = 1
+"""
+
+
+@_q("spatial_snap_nn", _SNAP_SQL)
+def spatial_snap_nn(spark, sf_dir):
+    """Spatial nearest neighbor with a max distance: for every 'signup'
+    point find the closest 'error' point within 4.9 m (the reference's
+    sjoin_nearest cap). Grid cells of size r bound the search — any
+    pair within r lives in adjacent cells, so exploding the left side
+    over its 3x3 cell neighborhood turns the quadratic NN search into
+    a plain shuffle equi-join on (cx, cy)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "error")
+    )
+    x = ((F.col("event_id") * 48271) % 19997) / 100.0
+    y = ((F.col("event_id") * 69621) % 19997) / 100.0
+    pts = ev.select(
+        "event_id", "event_type", x.alias("x"), y.alias("y"),
+        F.floor(x / 5.0).cast("long").alias("cx"),
+        F.floor(y / 5.0).cast("long").alias("cy"),
+    )
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    left = (
+        pts.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("left_id"), "x", "y", "cx", "cy",
+            F.explode(off).alias("dx"),
+        )
+        .select("left_id", "x", "y", "cx", "cy", "dx", F.explode(off).alias("dy"))
+        .select(
+            "left_id", "x", "y",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    right = pts.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("right_id"),
+        F.col("x").alias("xr"), F.col("y").alias("yr"), "cx", "cy",
+    )
+    dist = F.round(
+        F.lit(1e-9)
+        + F.sqrt(
+            (F.col("x") - F.col("xr")) * (F.col("x") - F.col("xr"))
+            + (F.col("y") - F.col("yr")) * (F.col("y") - F.col("yr"))
+        ),
+        4,
+    )
+    w = Window.partitionBy("left_id").orderBy("dist", "right_id")
+    return (
+        left.join(right, ["cx", "cy"])
+        .select("left_id", "right_id", dist.alias("dist"))
+        .filter(F.col("dist") <= 4.9)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("left_id", "right_id", "dist")
+    )
+
+
+# =====================================================================
+# String/map scalar surface: startswith/endswith predicates +
+# map_from_entries literal lookup (reference path filters, e.g.
+# 01_extract_s2_data.py fname.startswith/endswith checks, and the
+# entry-list param dict shape of SURVEY §2.8)
+# =====================================================================
+
+_STRING_MAP_SQL = """
+    SELECT p_brand,
+           CASE WHEN p_brand IN ('Brand#1', 'Brand#2') THEN 'premium'
+                ELSE 'standard' END AS tier,
+           count(*) AS n,
+           round(1e-9 + avg(p_retailprice), 4) AS avg_price
+    FROM part
+    WHERE p_name LIKE 'small%' OR p_name LIKE '%bolt'
+    GROUP BY 1, 2
+"""
+
+
+@_q("string_map_surface", _STRING_MAP_SQL)
+def string_map_surface(spark, sf_dir):
+    """startswith/endswith string predicates plus a map_from_entries
+    literal dict lookup with a coalesce default — the parameter-table
+    idiom of SURVEY §2.7/§2.8 (map built once from an entry array,
+    probed per row JVM-side; no join, no UDF)."""
+    p = _t(spark, sf_dir, "part")
+    tier_map = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("Brand#1"), F.lit("premium")),
+            F.struct(F.lit("Brand#2"), F.lit("premium")),
+        )
+    )
+    return (
+        p.filter(
+            F.col("p_name").startswith("small") | F.col("p_name").endswith("bolt")
+        )
+        .groupBy(
+            "p_brand",
+            F.coalesce(tier_map[F.col("p_brand")], F.lit("standard")).alias("tier"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.lit(1e-9) + F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
 # register the documents/embeddings training-data pipeline queries
 from sentinel2_crop_trait_timeseries_spark import catalog_docs  # noqa: E402,F401
 from sentinel2_crop_trait_timeseries_spark import catalog_engine  # noqa: E402,F401

@@ -695,6 +695,112 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Random-projection multi-probe ANN. Upgrades ann_lsh_bucketed's toy
+# 4-dimension-sign signature to a real sign-random-projection index:
+# 8 seeded integer hyperplanes (64-dim, entries in [-3,3], exact in
+# double so both engines agree on every sign bit — verified min |dot|
+# ~1e-3 on the driver tables) -> 256 buckets, and each query probes its
+# own bucket plus the 8 buckets at Hamming distance 1 (multi-probe,
+# Lv et al. VLDB'07) to recover recall without a second index pass.
+# Corpus stays partitioned by bucket; only the (replicated x9) query
+# side is broadcast — at 100 TB the corpus never moves and candidate
+# count is ~9/256 of brute force.
+# ---------------------------------------------------------------------
+
+import numpy as _np
+
+_ANN_PLANES = _np.random.default_rng(20260816).integers(-3, 4, size=(8, 64))
+
+
+def _ann_bucket_sql() -> str:
+    terms = []
+    for j, row in enumerate(_ANN_PLANES):
+        lit = "[" + ", ".join(str(int(v)) for v in row) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_inner_product(embedding, {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return "\n           + ".join(terms)
+
+
+_ANN_MULTIPROBE_SQL = f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+           ({_ann_bucket_sql()}) AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT s.vec_id AS query_id, s.embedding AS qe,
+             xor(s.bucket, m.mask) AS pbucket
+      FROM sig s
+      CROSS JOIN (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)) m(mask)
+      WHERE s.vec_id % 50 = 0
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round(1e-9 + list_cosine_similarity(p.qe, c.embedding), 4) AS cos,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(1e-9 + list_cosine_similarity(p.qe, c.embedding), 4) DESC,
+                        c.vec_id) AS rank
+      FROM probes p JOIN sig c
+        ON p.pbucket = c.bucket AND p.query_id <> c.vec_id
+    ) WHERE rank <= 3
+"""
+
+
+@_q("ann_multiprobe", _ANN_MULTIPROBE_SQL)
+def ann_multiprobe(spark, sf_dir):
+    """Sign-random-projection ANN with Hamming-1 multi-probe: 8 seeded
+    integer hyperplanes give a 256-bucket index; each query is exploded
+    to 9 probe buckets (own + every 1-bit flip) and equi-joined against
+    the bucketed corpus, then exact cosine re-ranks the candidates.
+    Corpus-side data never shuffles (probes broadcast); every corpus row
+    is scored at most once per query because buckets are disjoint."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = None
+    for j, row in enumerate(_ANN_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in row])
+        term = F.when(_dot(F.col("embedding"), plane) > 0, F.lit(1 << j)).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    sig = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    masks = F.array(F.lit(0), *[F.lit(1 << j) for j in range(8)])
+    probes = (
+        sig.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "bucket",
+            F.explode(masks).alias("mask"),
+        )
+        .select(
+            "query_id", "qe",
+            F.col("bucket").bitwiseXOR(F.col("mask")).alias("pbucket"),
+        )
+    )
+    c = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ec"),
+        F.col("bucket").alias("pbucket"),
+    )
+    j = c.join(F.broadcast(probes), "pbucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = F.round(
+        F.lit(1e-9)
+        + _dot(F.col("qe"), F.col("ec")) / (_norm(F.col("qe")) * _norm(F.col("ec"))),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        j.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 @_q(
     "embedding_label_stats",
     """
