@@ -90,3 +90,22 @@ def test_embedding_cosine_block_triangle_is_equijoin(spark):
     plan = _executed(spark, "dedup_embedding_cosine")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_snap_nn_is_equijoin(spark):
+    """Grid-cell snap NN: 3x3 neighborhood explode turns the radius
+    search into a shuffle equi-join on (cx, cy) — never a cross join
+    with a distance predicate."""
+    plan = _executed(spark, "spatial_snap_nn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_multiprobe_broadcasts_probes_only(spark):
+    """Multi-probe ANN: the x9-replicated query side is broadcast; the
+    bucketed corpus joins by hash equi-join and never shuffles through
+    a nested loop."""
+    plan = _executed(spark, "ann_multiprobe")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
