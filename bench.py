@@ -48,6 +48,13 @@ HEADLINE = [
     "text_quality_score",
     "token_roundtrip",
     "gorilla_roundtrip",
+    # round-2 additions: banded simhash, numeric-pipeline ops, spatial
+    # NN, multi-probe ANN
+    "dedup_simhash",
+    "enkf_assimilate_events",
+    "lut_inversion_topk",
+    "spatial_snap_nn",
+    "ann_multiprobe",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average
