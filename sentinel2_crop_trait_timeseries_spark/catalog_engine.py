@@ -193,14 +193,18 @@ def token_roundtrip(spark, sf_dir):
     event series -> ENCODE into (doc_id, tokens, n_tok, source) ->
     DECODE back -> aggregate. Matching sums/extents prove the token
     codec is an exact identity on real data; the oracle aggregates the
-    hourly series directly."""
+    hourly series directly.
+
+    Decode rides the Arrow twin here: event series average ~64 obs/doc
+    (max ~91), where the pure-column O(n^2) offset slices lose to one
+    numpy cumsum per batch; both twins are tested row-equal and narrow."""
     from sentinel2_crop_trait_timeseries_spark.operators.decode import (
         EPOCH_UNIX,
-        decode_observations,
+        decode_observations_arrow,
     )
 
     seq = _events_as_sequences(spark, sf_dir)
-    back = decode_observations(seq)
+    back = decode_observations_arrow(seq)
     return back.groupBy("doc_id").agg(
         F.count("*").alias("n"),
         F.round(F.lit(1e-9) + F.sum("value"), 3).alias("sum_value"),
