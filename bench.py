@@ -21,7 +21,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from sentinel2_crop_trait_timeseries_spark.session import get_spark  # noqa: E402
 from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES  # noqa: E402
 from sentinel2_crop_trait_timeseries_spark.sources.gen import generate_sequences  # noqa: E402
-from sentinel2_crop_trait_timeseries_spark.operators.decode import decode_observations  # noqa: E402
+from sentinel2_crop_trait_timeseries_spark.operators.decode import decode_observations_arrow  # noqa: E402
 from sentinel2_crop_trait_timeseries_spark.operators.rollup import cascade  # noqa: E402
 from sentinel2_crop_trait_timeseries_spark.operators.gapfill import gapfill_tiers  # noqa: E402
 from sentinel2_crop_trait_timeseries_spark.operators.compress import compress_segments  # noqa: E402
@@ -84,7 +84,7 @@ def main() -> None:
     seq.write.mode("overwrite").parquet("/tmp/bench_seq.parquet")
     seq_stored = spark.read.parquet("/tmp/bench_seq.parquet")
     t0 = time.perf_counter()
-    obs = decode_observations(seq_stored)
+    obs = decode_observations_arrow(seq_stored)
     tiers = cascade(obs, materialize_dir="/tmp/bench_tiers", spark=spark)
     points = {t: df.count() for t, df in tiers.items()}
     engine_sec = time.perf_counter() - t0
@@ -108,7 +108,7 @@ def main() -> None:
     # Gorilla segment compression ratio over a 5k-doc observation sample
     # (applyInPandas per-group overhead dominates with tiny groups, so the
     # metric sample is bounded; the codec itself is O(points))
-    comp_obs = decode_observations(generate_sequences(spark, 5000, partitions=cpus))
+    comp_obs = decode_observations_arrow(generate_sequences(spark, 5000, partitions=cpus))
     comp = compress_segments(comp_obs).agg(
         F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
     ).collect()[0]

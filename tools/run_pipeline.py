@@ -36,7 +36,7 @@ from sentinel2_crop_trait_timeseries_spark.session import get_spark
 from sentinel2_crop_trait_timeseries_spark.sources.gen import generate_sequences
 from sentinel2_crop_trait_timeseries_spark.operators.gapfill import gapfill_tiers
 from sentinel2_crop_trait_timeseries_spark.operators.fit import fit_sigmoid
-from sentinel2_crop_trait_timeseries_spark.operators.decode import decode_observations
+from sentinel2_crop_trait_timeseries_spark.operators.decode import decode_observations_arrow
 from sentinel2_crop_trait_timeseries_spark.operators.compress import compress_segments
 from sentinel2_crop_trait_timeseries_spark.operators.manifest import CheckpointManifest
 
@@ -96,7 +96,7 @@ def main() -> None:
     )
 
     # Gorilla-compressed observation segments
-    seg = compress_segments(decode_observations(work))
+    seg = compress_segments(decode_observations_arrow(work))
     seg.write.mode("overwrite").parquet(args.segments)
     comp_per_src = (
         spark.read.parquet(args.segments)
