@@ -1406,6 +1406,47 @@ def sample_fraction_bounds(spark, sf_dir):
     )
 
 
+@_q(
+    "approx_sketch_bounds",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           1 AS adc_ok,
+           1 AS pq_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_sketch_bounds(spark, sf_dir):
+    """Sketch aggregates, the 100 TB scale path for distinct counts and
+    quantiles: exact countDistinct shuffles every (key, value) pair,
+    while HyperLogLog++ (approx_count_distinct) and the t-digest-style
+    percentile_approx ship FIXED-SIZE map-side sketches. Sketch values
+    are engine-specific, so the contract pins the exact count plus the
+    error-bound INVARIANTS — HLL within 5% of exact (rsd=0.02), approx
+    median within 10% of the exact median — as booleans the oracle
+    states as constants (the sample_fraction_bounds convention)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_adc"),
+        F.expr("percentile(value, 0.5)").alias("med_exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("med_approx"),
+    )
+    adc_ok = (
+        F.abs(F.col("n_adc") - F.col("n_exact")) / F.col("n_exact") <= 0.05
+    )
+    pq_ok = (
+        F.abs(F.col("med_approx") - F.col("med_exact"))
+        <= 0.10 * F.abs(F.col("med_exact"))
+    )
+    return g.select(
+        "event_type",
+        "n_exact",
+        adc_ok.cast("int").alias("adc_ok"),
+        pq_ok.cast("int").alias("pq_ok"),
+    )
+
+
 # =====================================================================
 # Spatial nearest-neighbor join via grid-cell bucketing (reference
 # validation/00_validate_s2_glai_observations.py:179-185 sjoin_nearest
