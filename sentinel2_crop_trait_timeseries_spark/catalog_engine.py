@@ -129,6 +129,56 @@ def streaming_rollup_hourly(spark, sf_dir):
 
 
 @_q(
+    "streaming_sessionize",
+    """
+    WITH t AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))
+                     >= 1800.0
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t
+    )
+    SELECT user_id,
+           cast(floor(min(epoch(ts))) AS bigint) AS session_start,
+           cast(floor(max(epoch(ts))) AS bigint) + 1800 AS session_end,
+           count(*) AS n,
+           round(1e-9 + sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_sessionize(spark, sf_dir):
+    """Event-time session windows as a STREAMING aggregation
+    (F.session_window, availableNow file stream, memory sink): per-user
+    activity bursts separated by >= 30 min of silence. The oracle is the
+    batch gaps-and-islands form — a lag-diff break flag cumulated into
+    session ids — so matching values prove the streaming session-merge
+    state machine equals the relational definition. window.end is
+    last-event + gap by Spark's session semantics; the oracle adds the
+    gap to max(ts) the same way."""
+    from sentinel2_crop_trait_timeseries_spark.streaming.rollup_stream import (
+        run_session_stream_once,
+    )
+
+    res = run_session_stream_once(spark, sf_dir)
+    return res.select(
+        "user_id",
+        F.col("sw.start").cast("long").alias("session_start"),
+        F.col("sw.end").cast("long").alias("session_end"),
+        "n",
+        F.round(F.lit(1e-9) + F.col("sum_value"), 4).alias("sum_value"),
+    )
+
+
+@_q(
     "multimodal_meta",
     """
     SELECT doc_id, length(text) AS byte_len,

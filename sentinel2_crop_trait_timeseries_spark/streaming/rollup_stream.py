@@ -77,6 +77,56 @@ def run_file_stream_once(
     return spark.table(query_name)
 
 
+def streaming_session_rollup(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time SESSION windows over a stream: per-key activity
+    bursts separated by >= gap of silence, via ``F.session_window``
+    (dynamic-length windows that merge as events arrive — the
+    streaming twin of the batch ``sessionize`` gaps-and-islands
+    query). State per open session is one running aggregate; the
+    watermark closes and evicts sessions whose end fell behind
+    max_event_time - delay."""
+    v = F.col(value_col)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key, F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(F.count(v).alias("n"), F.sum(v).alias("sum_value"))
+    )
+
+
+def run_session_stream_once(
+    spark: SparkSession,
+    sf_dir: str,
+    file_name: str = "events.parquet",
+    query_name: str = "s2tt_stream_sessions",
+) -> DataFrame:
+    """Stream a parquet file source through session windows to
+    completion (availableNow, complete mode, memory sink)."""
+    schema = spark.read.parquet(f"{sf_dir}/{file_name}").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_name)
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = streaming_session_rollup(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 # ---------------------------------------------------------------------
 # Custom stateful operator: running per-key accumulation across
 # micro-batches (applyInPandasWithState)
