@@ -27,6 +27,7 @@ from sentinel2_crop_trait_timeseries_spark.operators.compress import (
 from sentinel2_crop_trait_timeseries_spark.operators.multimodal import (
     attach_payload,
     decode_meta,
+    sample_frames,
 )
 from sentinel2_crop_trait_timeseries_spark.streaming.rollup_stream import (
     run_file_stream_once,
@@ -197,6 +198,31 @@ def multimodal_meta(spark, sf_dir):
     iteration are byte-exact."""
     d = _t(spark, sf_dir, "documents")
     return decode_meta(attach_payload(d))
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    WITH c AS (
+      SELECT doc_id, ascii(substr(text, i, 1)) AS b,
+             cast(floor((i - 1) / 16) AS int) AS frame_idx
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) t
+    )
+    SELECT doc_id, frame_idx,
+           cast(count(*) AS int) AS frame_len,
+           cast(sum(b) AS bigint) AS frame_sum
+    FROM c WHERE frame_idx % 4 = 0 GROUP BY 1, 2
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Keyframe-style sampling over binary payloads: 16-byte frames,
+    every 4th kept, one output row per sampled frame (UDTF shape) with
+    integer byte-sum features. The oracle rebuilds the same frames from
+    the ASCII source text — matching sums prove the frame boundary
+    arithmetic (including the partial last frame) is byte-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(d))
 
 
 def _events_as_sequences(spark, sf_dir):

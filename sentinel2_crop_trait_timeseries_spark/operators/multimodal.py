@@ -78,6 +78,58 @@ def decode_meta(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(extract, META_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_sum bigint"
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload", frame_bytes: int = 16,
+                  stride: int = 4) -> DataFrame:
+    """Frame sampling over binary payloads: split each payload into
+    fixed-size frames and keep every ``stride``-th one (the video
+    keyframe-sampling shape: decode only the frames you train on).
+
+    Emits one row per SAMPLED frame with integer byte-sum features —
+    the 1->n UDTF plumbing (schema, batch fan-out, partial last frame)
+    a real frame extractor needs, fully vectorized: one concatenated
+    uint8 view + prefix sums, frame boundaries built with
+    repeat/arange arithmetic, zero per-byte Python.
+    """
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64,
+                               count=len(payloads))
+            blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            csum = np.concatenate(([0], np.cumsum(blob, dtype=np.int64)))
+            doc_starts = np.cumsum(lens) - lens
+            nframes = -(-lens // frame_bytes)          # ceil
+            n_samp = -(-nframes // stride)              # sampled per doc
+            total = int(n_samp.sum())
+            if total == 0:
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "frame_idx": pd.Series([], dtype="int32"),
+                                    "frame_len": pd.Series([], dtype="int32"),
+                                    "frame_sum": pd.Series([], dtype="int64")})
+                continue
+            offs = np.cumsum(n_samp) - n_samp
+            doc_rep = np.repeat(np.arange(len(ids)), n_samp)
+            frame_idx = (np.arange(total) - offs[doc_rep]) * stride
+            fstart = frame_idx * frame_bytes
+            flen = np.minimum(frame_bytes, lens[doc_rep] - fstart)
+            abs_start = doc_starts[doc_rep] + fstart
+            fsum = csum[abs_start + flen] - csum[abs_start]
+            yield pd.DataFrame({
+                "doc_id": ids[doc_rep],
+                "frame_idx": frame_idx.astype(np.int32),
+                "frame_len": flen.astype(np.int32),
+                "frame_sum": fsum,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(extract, FRAME_SCHEMA)
+
+
 def decode_pixels(df: DataFrame, payload_col: str = "payload",
                   target_size: tuple[int, int] = (224, 224)) -> DataFrame:
     """STUB: full image decode + resize to ``target_size``.
