@@ -881,3 +881,110 @@ def ann_recall(spark, sf_dir):
             4,
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------
+# IVF ANN: coarse-quantizer cells + nprobe=2. Completes the ANN menu
+# (brute force / sign-LSH / multi-probe / IVF): a broadcast codebook of
+# 16 seeded integer centroids partitions the corpus into cells by
+# argmin quantization cost; queries probe their 2 nearest cells. The
+# cell assignment is an equi-join key, so the corpus again never moves
+# and the candidate set is ~2/16 of brute force. Ranking keys are
+# rounded costs with centroid-id tie-breaks, so both engines pick
+# identical cells (same argmin discipline as lut_inversion_topk).
+# ---------------------------------------------------------------------
+
+_IVF_CENTROIDS = _np.random.default_rng(424242).integers(-3, 4, size=(16, 64))
+
+
+def _ivf_cells_sql() -> str:
+    items = []
+    for j, row in enumerate(_IVF_CENTROIDS):
+        c2 = int((row * row).sum())
+        lit = "[" + ", ".join(str(int(v)) for v in row) + "]::DOUBLE[]"
+        items.append(
+            "{'d': round(1e-9 + %d - 2 * list_inner_product(embedding, %s), 4),"
+            " 'c': %d}" % (c2, lit, j)
+        )
+    return "list_sort([\n             " + ",\n             ".join(items) + "\n           ])"
+
+
+_ANN_IVF_SQL = f"""
+    WITH cost AS (
+      SELECT vec_id, embedding,
+             {_ivf_cells_sql()} AS cells
+      FROM embeddings
+    ),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, embedding AS ec, cells[1].c AS cell
+      FROM cost
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             unnest([cells[1].c, cells[2].c]) AS cell
+      FROM cost WHERE vec_id % 50 = 0
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT p.query_id, c.neighbor_id,
+             round(1e-9 + list_cosine_similarity(p.qe, c.ec), 4) AS cos,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(1e-9 + list_cosine_similarity(p.qe, c.ec), 4) DESC,
+                        c.neighbor_id) AS rank
+      FROM probes p JOIN corpus c
+        ON p.cell = c.cell AND p.query_id <> c.neighbor_id
+    ) WHERE rank <= 3
+"""
+
+
+@_q("ann_ivf", _ANN_IVF_SQL)
+def ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN: every vector is assigned to its
+    nearest of 16 broadcast codebook centroids (argmin of the rounded
+    quantization cost |c|^2 - 2 v.c, centroid-id tie-break); queries
+    probe their nprobe=2 nearest cells and re-rank candidates with
+    exact cosine. Cell ids are plain equi-join keys — the corpus stays
+    partitioned, only the tiny probe set moves."""
+    e = _t(spark, sf_dir, "embeddings")
+    items = []
+    for j, row in enumerate(_IVF_CENTROIDS):
+        c2 = float((row * row).sum())
+        cen = F.array(*[F.lit(float(v)) for v in row])
+        d = F.round(
+            F.lit(1e-9) + F.lit(c2) - 2.0 * _dot(F.col("embedding"), cen), 4
+        )
+        items.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
+    cells = F.array_sort(F.array(*items))
+    cost = e.select("vec_id", "embedding", cells.alias("cells"))
+    corpus = cost.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ec"),
+        F.element_at("cells", 1)["c"].alias("cell"),
+    )
+    probes = (
+        cost.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.array(
+                    F.element_at("cells", 1)["c"], F.element_at("cells", 2)["c"]
+                )
+            ).alias("cell"),
+        )
+    )
+    j = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = F.round(
+        F.lit(1e-9)
+        + _dot(F.col("qe"), F.col("ec")) / (_norm(F.col("qe")) * _norm(F.col("ec"))),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        j.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
