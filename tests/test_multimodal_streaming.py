@@ -80,3 +80,44 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_sample_frames_boundaries(spark):
+    """Frame sampling over payloads pinning the boundary cases: empty
+    payload (no frames), shorter-than-one-frame, exact frame multiple,
+    and a partial last frame that IS sampled (idx divisible by stride)."""
+    import pandas as pd
+    from sentinel2_crop_trait_timeseries_spark.operators.multimodal import (
+        attach_payload, sample_frames,
+    )
+
+    rows = [
+        (0, ""),                       # empty -> 0 rows
+        (1, "abc"),                    # 3 bytes -> frame 0, len 3
+        (2, "x" * 32),                 # exactly 2 frames -> frame 0 only
+        (3, "y" * (16 * 4 + 5)),       # frames 0..4; sampled 0 and 4 (len 5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        sample_frames(attach_payload(df))
+        .toPandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 3],
+            "frame_idx": [0, 0, 0, 4],
+            "frame_len": [3, 16, 16, 5],
+            "frame_sum": [
+                sum(b"abc"),
+                16 * ord("x"),
+                16 * ord("y"),
+                5 * ord("y"),
+            ],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"frame_idx": "int32", "frame_len": "int32"}),
+        want.astype({"frame_idx": "int32", "frame_len": "int32"}),
+    )
