@@ -826,64 +826,6 @@ def embedding_label_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
-# ANN quality measurement: recall of the multi-probe index against the
-# brute-force ground truth, composed from the two queries' own oracle
-# SQL so the metric itself is hash-verified. At 100 TB this is the
-# query you run on a sample to tune planes/probes before trusting the
-# index over the full corpus.
-# ---------------------------------------------------------------------
-
-from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES as _REGISTRY
-
-_ANN_RECALL_SQL = f"""
-    WITH bf AS ({_REGISTRY["ann_topk_bruteforce"]["sql"]}),
-         mp AS ({_REGISTRY["ann_multiprobe"]["sql"]})
-    SELECT count(*) AS n_true,
-           cast(sum(CASE WHEN mp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                AS bigint) AS n_hit,
-           round(1e-9 + sum(CASE WHEN mp.neighbor_id IS NOT NULL
-                                 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS recall
-    FROM bf LEFT JOIN mp
-      ON bf.query_id = mp.query_id AND bf.neighbor_id = mp.neighbor_id
-"""
-
-
-@_q("ann_recall", _ANN_RECALL_SQL)
-def ann_recall(spark, sf_dir):
-    """Recall@3 of the multi-probe random-projection index vs the
-    brute-force top-3: the fraction of true neighbors the index
-    retrieves. Both sides reuse their contract definitions, so this is
-    an oracle-verified quality metric, not a self-reported one.
-
-    Calibration note: the driver's synthetic embeddings are near-random
-    (mean true-top-3 cosine ~0.37 -> per-plane bit-agree p~0.62), so
-    sign-LSH theory predicts P(Hamming<=1 over 8 planes) ~ 0.13; the
-    measured 0.10 at sf0.01 matches, i.e. the index is behaving exactly
-    as designed and recall is bounded by the data's lack of locality,
-    not the implementation. On clustered corpora (neighbor cos >= 0.9,
-    p ~ 0.86) the same 9-probe config predicts recall ~ 0.68, and
-    widening to Hamming<=2 (37 probes, still 14% of buckets) ~ 0.91 —
-    the knob this query exists to tune."""
-    bf = _REGISTRY["ann_topk_bruteforce"]["fn"](spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    mp = _REGISTRY["ann_multiprobe"]["fn"](spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
-    j = bf.join(mp, ["query_id", "neighbor_id"], "left")
-    return j.agg(
-        F.count(F.lit(1)).alias("n_true"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
-        F.round(
-            F.lit(1e-9)
-            + F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("double"))
-            / F.count(F.lit(1)),
-            4,
-        ).alias("recall"),
-    )
-
-
-# ---------------------------------------------------------------------
 # IVF ANN: coarse-quantizer cells + nprobe=2. Completes the ANN menu
 # (brute force / sign-LSH / multi-probe / IVF): a broadcast codebook of
 # 16 seeded integer centroids partitions the corpus into cells by
@@ -988,3 +930,75 @@ def ann_ivf(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------
+# ANN quality measurement: recall of the multi-probe index against the
+# brute-force ground truth, composed from the two queries' own oracle
+# SQL so the metric itself is hash-verified. At 100 TB this is the
+# query you run on a sample to tune planes/probes before trusting the
+# index over the full corpus.
+# ---------------------------------------------------------------------
+
+from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES as _REGISTRY
+
+_ANN_RECALL_SQL = f"""
+    WITH bf AS ({_REGISTRY["ann_topk_bruteforce"]["sql"]}),
+         mp AS ({_REGISTRY["ann_multiprobe"]["sql"]}),
+         ivf AS ({_REGISTRY["ann_ivf"]["sql"]})
+    SELECT 'multiprobe' AS method, count(*) AS n_true,
+           cast(sum(CASE WHEN mp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_hit,
+           round(1e-9 + sum(CASE WHEN mp.neighbor_id IS NOT NULL
+                                 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS recall
+    FROM bf LEFT JOIN mp
+      ON bf.query_id = mp.query_id AND bf.neighbor_id = mp.neighbor_id
+    UNION ALL
+    SELECT 'ivf' AS method, count(*) AS n_true,
+           cast(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_hit,
+           round(1e-9 + sum(CASE WHEN ivf.neighbor_id IS NOT NULL
+                                 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS recall
+    FROM bf LEFT JOIN ivf
+      ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+"""
+
+
+@_q("ann_recall", _ANN_RECALL_SQL)
+def ann_recall(spark, sf_dir):
+    """Recall@3 of the multi-probe random-projection index vs the
+    brute-force top-3: the fraction of true neighbors the index
+    retrieves. Both sides reuse their contract definitions, so this is
+    an oracle-verified quality metric, not a self-reported one.
+
+    Calibration note: the driver's synthetic embeddings are near-random
+    (mean true-top-3 cosine ~0.37 -> per-plane bit-agree p~0.62), so
+    sign-LSH theory predicts P(Hamming<=1 over 8 planes) ~ 0.13; the
+    measured 0.10 at sf0.01 matches, i.e. the index is behaving exactly
+    as designed and recall is bounded by the data's lack of locality,
+    not the implementation. On clustered corpora (neighbor cos >= 0.9,
+    p ~ 0.86) the same 9-probe config predicts recall ~ 0.68, and
+    widening to Hamming<=2 (37 probes, still 14% of buckets) ~ 0.91 —
+    the knob this query exists to tune."""
+    bf = _REGISTRY["ann_topk_bruteforce"]["fn"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+
+    def measure(method: str) -> DataFrame:
+        idx = _REGISTRY[f"ann_{method}"]["fn"](spark, sf_dir).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        j = bf.join(idx, ["query_id", "neighbor_id"], "left")
+        return j.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("double"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("recall"),
+        )
+
+    return measure("multiprobe").unionByName(measure("ivf"))
