@@ -836,16 +836,22 @@ def embedding_label_stats(spark, sf_dir):
 # identical cells (same argmin discipline as lut_inversion_topk).
 # ---------------------------------------------------------------------
 
-_IVF_CENTROIDS = _np.random.default_rng(424242).integers(-3, 4, size=(16, 64))
+# integer draws scaled by 1/16 (exact binary fractions, so both engines
+# parse identical doubles) -> centroid norms ~1, matching the unit-norm
+# embeddings; unscaled integer centroids would let the |c|^2 term dominate
+# the cost and collapse every vector into the smallest-norm cell
+_IVF_CENTROIDS = (
+    _np.random.default_rng(424242).integers(-3, 4, size=(16, 64)) / 16.0
+)
 
 
 def _ivf_cells_sql() -> str:
     items = []
     for j, row in enumerate(_IVF_CENTROIDS):
-        c2 = int((row * row).sum())
-        lit = "[" + ", ".join(str(int(v)) for v in row) + "]::DOUBLE[]"
+        c2 = repr(float((row * row).sum()))
+        lit = "[" + ", ".join(repr(float(v)) for v in row) + "]::DOUBLE[]"
         items.append(
-            "{'d': round(1e-9 + %d - 2 * list_inner_product(embedding, %s), 4),"
+            "{'d': round(1e-9 + %s - 2 * list_inner_product(embedding, %s), 4),"
             " 'c': %d}" % (c2, lit, j)
         )
     return "list_sort([\n             " + ",\n             ".join(items) + "\n           ])"
