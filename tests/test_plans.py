@@ -109,3 +109,11 @@ def test_ann_multiprobe_broadcasts_probes_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_ivf_is_equijoin(spark):
+    """IVF cell ids are equi-join keys: broadcast probes, no BNLJ."""
+    plan = _executed(spark, "ann_ivf")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
