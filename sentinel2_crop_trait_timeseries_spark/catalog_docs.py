@@ -610,24 +610,12 @@ def ann_topk_bruteforce(spark, sf_dir):
     the full corpus, rank per query. At scale: queries broadcast, corpus
     stays partitioned -> shuffle-free map-side scoring + per-query top-k
     (the baseline every ANN index is measured against)."""
+    from sentinel2_crop_trait_timeseries_spark.operators.ann import (
+        brute_force_topk,
+    )
+
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
-    j = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    cos = F.round(
-        F.lit(1e-9)
-        + _dot(F.col("eq"), F.col("ec")) / (_norm(F.col("eq")) * _norm(F.col("ec"))),
-        4,
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        j.select("query_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return brute_force_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=3)
 
 
 @_q(
@@ -758,46 +746,13 @@ def ann_multiprobe(spark, sf_dir):
     the bucketed corpus, then exact cosine re-ranks the candidates.
     Corpus-side data never shuffles (probes broadcast); every corpus row
     is scored at most once per query because buckets are disjoint."""
+    from sentinel2_crop_trait_timeseries_spark.operators.ann import (
+        sign_projection_topk,
+    )
+
     e = _t(spark, sf_dir, "embeddings")
-    bucket = None
-    for j, row in enumerate(_ANN_PLANES):
-        plane = F.array(*[F.lit(float(v)) for v in row])
-        term = F.when(_dot(F.col("embedding"), plane) > 0, F.lit(1 << j)).otherwise(0)
-        bucket = term if bucket is None else bucket + term
-    sig = e.select("vec_id", "embedding", bucket.alias("bucket"))
-    masks = F.array(F.lit(0), *[F.lit(1 << j) for j in range(8)])
-    probes = (
-        sig.filter(F.col("vec_id") % 50 == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            "bucket",
-            F.explode(masks).alias("mask"),
-        )
-        .select(
-            "query_id", "qe",
-            F.col("bucket").bitwiseXOR(F.col("mask")).alias("pbucket"),
-        )
-    )
-    c = sig.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ec"),
-        F.col("bucket").alias("pbucket"),
-    )
-    j = c.join(F.broadcast(probes), "pbucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    cos = F.round(
-        F.lit(1e-9)
-        + _dot(F.col("qe"), F.col("ec")) / (_norm(F.col("qe")) * _norm(F.col("ec"))),
-        4,
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        j.select("query_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "rank", "cos")
+    return sign_projection_topk(
+        e, e.filter(F.col("vec_id") % 50 == 0), _ANN_PLANES, k=3, radius=1
     )
 
 
@@ -893,48 +848,11 @@ def ann_ivf(spark, sf_dir):
     probe their nprobe=2 nearest cells and re-rank candidates with
     exact cosine. Cell ids are plain equi-join keys — the corpus stays
     partitioned, only the tiny probe set moves."""
+    from sentinel2_crop_trait_timeseries_spark.operators.ann import ivf_topk
+
     e = _t(spark, sf_dir, "embeddings")
-    items = []
-    for j, row in enumerate(_IVF_CENTROIDS):
-        c2 = float((row * row).sum())
-        cen = F.array(*[F.lit(float(v)) for v in row])
-        d = F.round(
-            F.lit(1e-9) + F.lit(c2) - 2.0 * _dot(F.col("embedding"), cen), 4
-        )
-        items.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
-    cells = F.array_sort(F.array(*items))
-    cost = e.select("vec_id", "embedding", cells.alias("cells"))
-    corpus = cost.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ec"),
-        F.element_at("cells", 1)["c"].alias("cell"),
-    )
-    probes = (
-        cost.filter(F.col("vec_id") % 50 == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.explode(
-                F.array(
-                    F.element_at("cells", 1)["c"], F.element_at("cells", 2)["c"]
-                )
-            ).alias("cell"),
-        )
-    )
-    j = corpus.join(F.broadcast(probes), "cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    cos = F.round(
-        F.lit(1e-9)
-        + _dot(F.col("qe"), F.col("ec")) / (_norm(F.col("qe")) * _norm(F.col("ec"))),
-        4,
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        j.select("query_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "rank", "cos")
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") % 50 == 0), _IVF_CENTROIDS, k=3, nprobe=2
     )
 
 
