@@ -117,3 +117,17 @@ def test_ann_ivf_is_equijoin(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hamming_masks_pure():
+    """Probe-mask generator: exact cover of the Hamming ball, no dupes
+    (pure python — no Spark session)."""
+    from sentinel2_crop_trait_timeseries_spark.operators.ann import hamming_masks
+
+    m0 = hamming_masks(8, 0)
+    assert m0 == [0]
+    m1 = hamming_masks(8, 1)
+    assert sorted(m1) == [0] + [1 << j for j in range(8)]
+    m2 = hamming_masks(8, 2)
+    assert len(m2) == 1 + 8 + 28 == len(set(m2))
+    assert all(bin(m).count("1") <= 2 for m in m2)
