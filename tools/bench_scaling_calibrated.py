@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Capacity-calibrated scaling measurement (BASELINE.json north_rule).
+
+Problem this solves: the sandbox host delivers BURSTY CPU. Probing
+shows two regimes — windows where a 32-way burn sustains ~4x the
+8-way total (full 32 physical cores available) and minutes-long
+windows where total capacity collapses to ~8 cores, during which
+local[8] and local[32] necessarily tie (a well-partitioned CPU-bound
+job cannot beat the silicon it is given). Unconditioned medians mix
+the regimes and measure the host, not the engine.
+
+Method: each measurement pair runs the two levels back-to-back in
+alternating order (8->32, then 32->8, ...), bracketed by ~0.6 s 32-way
+burn probes that record the host's instantaneous total capacity. A
+pair is CLEAN when every bracketing probe is within tolerance of the
+session's peak capacity — i.e. the host had its full 32 cores to give
+for both halves. The scaling efficiency of the ENGINE is the median
+ratio over clean pairs; all raw pairs, probes, and the throttled-pair
+ratios are reported alongside so nothing is hidden.
+
+Usage: python tools/bench_scaling_calibrated.py [n_docs] [low] [high] [pairs]
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sentinel2_crop_trait_timeseries_spark.session import get_spark  # noqa: E402
+from sentinel2_crop_trait_timeseries_spark.sources.gen import generate_sequences  # noqa: E402
+from sentinel2_crop_trait_timeseries_spark.operators.gapfill import gapfill_tiers  # noqa: E402
+
+SEQ_PATH = "/tmp/scaling_seq_cal.parquet"
+PROBE_PROCS = 32
+PROBE_SEC = 0.6
+
+
+def _burn(dur: float) -> int:
+    end = time.perf_counter() + dur
+    x = 0
+    while time.perf_counter() < end:
+        x += 1
+    return x
+
+
+def probe_capacity(pool: mp.Pool) -> float:
+    """Total host capacity right now: M iters/s across a 32-way burn."""
+    t0 = time.perf_counter()
+    res = pool.map(_burn, [PROBE_SEC] * PROBE_PROCS)
+    wall = time.perf_counter() - t0
+    return sum(res) / wall / 1e6
+
+
+def run_once(cores: int) -> float:
+    spark = get_spark(
+        f"s2tt_cal_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+    )
+    t0 = time.perf_counter()
+    seq = spark.read.parquet(SEQ_PATH)
+    gapfill_tiers(seq, knockout=0.1).write.format("noop").mode("overwrite").save()
+    sec = time.perf_counter() - t0
+    spark.stop()
+    return sec
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 12
+
+    gen = get_spark("s2tt_cal_gen", master=f"local[{high}]",
+                    shuffle_partitions=high)
+    generate_sequences(gen, n_docs, partitions=high * 2).write.mode(
+        "overwrite"
+    ).parquet(SEQ_PATH)
+    seq = gen.read.parquet(SEQ_PATH)
+    n_points = sum(
+        r["count"]
+        for r in gapfill_tiers(seq, knockout=0.1).groupBy("tier").count().collect()
+    )
+    gen.stop()
+
+    pool = mp.Pool(PROBE_PROCS)
+    probe_capacity(pool)  # warm the pool
+    run_once(low)         # warm-up pair (JIT, worker pools, page cache)
+    run_once(high)
+
+    pairs = []
+    for i in range(n_pairs):
+        first, second = (low, high) if i % 2 == 0 else (high, low)
+        c0 = probe_capacity(pool)
+        t_first = run_once(first)
+        c1 = probe_capacity(pool)
+        t_second = run_once(second)
+        c2 = probe_capacity(pool)
+        t_low, t_high = (t_first, t_second) if first == low else (t_second, t_first)
+        pairs.append({
+            "order": f"{first}->{second}",
+            "low_sec": round(t_low, 2), "high_sec": round(t_high, 2),
+            "ratio": round(t_low / t_high, 3),
+            "probes_M_per_s": [round(c0, 1), round(c1, 1), round(c2, 1)],
+        })
+        print(f"pair {i + 1}/{n_pairs} [{first}->{second}]: "
+              f"{low}c {t_low:.1f}s  {high}c {t_high:.1f}s  "
+              f"ratio {t_low / t_high:.2f}  probes "
+              f"{c0:.0f}/{c1:.0f}/{c2:.0f} M/s",
+              file=sys.stderr, flush=True)
+    pool.close()
+
+    peak = max(max(p["probes_M_per_s"]) for p in pairs)
+    tol = 0.8
+    clean = [p for p in pairs if min(p["probes_M_per_s"]) >= tol * peak]
+    throttled = [p for p in pairs if p not in clean]
+    ideal = high / low
+
+    def med(ps):
+        return round(statistics.median(x["ratio"] for x in ps), 3) if ps else None
+
+    clean_med = med(clean)
+    out = {
+        "job": "fused gapfill + per-doc 3-tier rollup (narrow, noop sink)",
+        "methodology": "back-to-back alternating-order pairs; 32-way burn "
+                       "probes bracket each run; CLEAN pair = all probes >= "
+                       f"{tol:.0%} of session peak capacity; engine "
+                       "efficiency = median clean-pair ratio / ideal",
+        "n_docs": n_docs,
+        "rolled_points": n_points,
+        "low_cores": low,
+        "high_cores": high,
+        "peak_capacity_M_per_s": round(peak, 1),
+        "pairs": pairs,
+        "n_clean": len(clean),
+        "n_throttled": len(throttled),
+        "median_ratio_clean": clean_med,
+        "median_ratio_throttled": med(throttled),
+        "median_ratio_all": med(pairs),
+        "ideal_speedup": ideal,
+        "scaling_efficiency_clean": (
+            round(clean_med / ideal, 3) if clean_med else None
+        ),
+        "scaling_efficiency_all": round(med(pairs) / ideal, 3),
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
