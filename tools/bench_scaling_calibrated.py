@@ -64,11 +64,22 @@ def probe_capacity(pool: mp.Pool, settle: float = 2.5) -> float:
 
 
 def run_once(cores: int) -> float:
+    """One timed flagship run at `cores` (noop sink).
+
+    The fresh context's Python workers cold-import pandas/numpy inside
+    the first job (~2 s across all slots) — a per-SESSION cost that a
+    long-lived cluster pays once, so an untimed tiny warm job (same
+    mapInPandas path, every slot touched) runs first and the timed run
+    measures steady-state engine throughput."""
     spark = get_spark(
         f"s2tt_cal_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
     )
-    t0 = time.perf_counter()
     seq = spark.read.parquet(SEQ_PATH)
+    warm = seq.limit(cores * 4).repartition(cores)
+    gapfill_tiers(warm, knockout=0.1).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t0 = time.perf_counter()
     gapfill_tiers(seq, knockout=0.1).write.format("noop").mode("overwrite").save()
     sec = time.perf_counter() - t0
     spark.stop()
