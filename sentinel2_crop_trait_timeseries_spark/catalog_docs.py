@@ -473,19 +473,38 @@ def dedup_simhash(spark, sf_dir):
             ).alias("simhash"),
         )
     )
+    # Hamming <= 2 spoils at most 2 of the 4 chunks, so at least one of
+    # the C(4,2)=6 chunk PAIRS survives intact on both sides — banding
+    # on 16-bit pair keys instead of single 8-bit chunks cuts the
+    # random-collision candidate set ~256x (1/65536 vs 1/256 per band)
+    # for a 6/4 explode overhead
+    byte = lambda i: F.shiftright("simhash", i * 8).bitwiseAND(F.lit(255))
+    pair_combos = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    bands = F.array(*[
+        F.struct(
+            F.lit(k).alias("pi"),
+            byte(i).alias("c1"),
+            byte(j).alias("c2"),
+        )
+        for k, (i, j) in enumerate(pair_combos)
+    ])
     chunks = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS // 8 - 1))).alias("ci"),
-    ).withColumn("chunk", F.expr("shiftright(simhash, ci * 8) & 255"))
+        "doc_id", "simhash", F.explode(bands).alias("p")
+    ).select(
+        "doc_id", "simhash",
+        F.col("p.pi").alias("pi"), F.col("p.c1").alias("c1"),
+        F.col("p.c2").alias("c2"),
+    )
     a = chunks.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "ci", "chunk"
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
+        "pi", "c1", "c2",
     )
     b = chunks.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "ci", "chunk"
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
+        "pi", "c1", "c2",
     )
     cand = (
-        a.join(b, ["ci", "chunk"])
+        a.join(b, ["pi", "c1", "c2"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
