@@ -131,3 +131,36 @@ def test_hamming_masks_pure():
     m2 = hamming_masks(8, 2)
     assert len(m2) == 1 + 8 + 28 == len(set(m2))
     assert all(bin(m).count("1") <= 2 for m in m2)
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Co-located join via bucketed tables — THE 100 TB technique for
+    repeated large-table joins on a stable key: both sides bucketed by
+    the join key at write time join with zero Exchange (no shuffle);
+    the bucket layout replaces the runtime hash partitioning."""
+    import uuid
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    spend = ev.groupBy("user_id").agg(F.sum("value").alias("spend"))
+    views = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    suffix = uuid.uuid4().hex[:8]
+    loc = str(tmp_path)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df in (("b_spend", spend), ("b_views", views)):
+            (df.write.mode("overwrite")
+               .option("path", f"{loc}/{name}_{suffix}")
+               .bucketBy(8, "user_id").sortBy("user_id")
+               .saveAsTable(f"{name}_{suffix}"))
+        j = spark.table(f"b_spend_{suffix}").join(
+            spark.table(f"b_views_{suffix}"), "user_id"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout == join partitioning
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for name in ("b_spend", "b_views"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
