@@ -67,15 +67,50 @@ def _response_lut(curve: str, params: dict | None) -> np.ndarray:
     return lut
 
 
-def _doc_key_hash(doc_ids: np.ndarray, seed: int) -> np.ndarray:
-    """Stable per-doc uint64 from the doc_id string (FNV-1a + splitmix)."""
+def _fnv1a_scalar(doc_ids) -> np.ndarray:
+    """Byte-by-byte FNV-1a twin (kept for the equivalence pytest)."""
     out = np.empty(len(doc_ids), dtype=np.uint64)
     mask = (1 << 64) - 1
-    for j, d in enumerate(doc_ids):  # string hash; O(batch), not O(points)
+    for j, d in enumerate(doc_ids):
         h = 14695981039346656037
         for ch in d.encode():
             h = ((h ^ ch) * 1099511628211) & mask
         out[j] = h
+    return out
+
+
+def _fnv1a_batch(doc_ids) -> np.ndarray:
+    """Vectorized FNV-1a over a batch of doc_id strings.
+
+    FNV is sequential per byte, so the loop runs over BYTE POSITIONS
+    (max doc_id length, ~tens) with all docs updated per step — not over
+    docs; the per-doc Python of the scalar twin is gone. uint64 multiply
+    wraps mod 2^64 in numpy, matching the scalar ``& mask``.
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [d.encode() for d in doc_ids]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    maxlen = int(lens.max()) if n else 0
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    buf[np.repeat(np.arange(n), lens),
+        np.arange(len(flat)) - np.repeat(starts, lens)] = flat
+    h = np.full(n, 14695981039346656037, dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            h = np.where(
+                lens > j, (h ^ buf[:, j].astype(np.uint64)) * prime, h
+            )
+    return h
+
+
+def _doc_key_hash(doc_ids: np.ndarray, seed: int) -> np.ndarray:
+    """Stable per-doc uint64 from the doc_id string (FNV-1a + splitmix)."""
+    out = _fnv1a_batch(doc_ids)
     return splitmix64(out ^ splitmix64(np.full(len(doc_ids), seed, dtype=np.uint64)))
 
 
@@ -127,6 +162,62 @@ def _knockout_mask(key_hash: np.ndarray, doc_of_obs: np.ndarray,
     rank[order] = idx_in_doc  # 0..n-1 within doc in r-order
     keep = rank >= n_drop[doc_of_obs]
     return keep
+
+
+# Peak bytes for the padded (segment x gap-width) cumsum matrix. Above
+# this the column-blocked path runs instead — bit-identical output, so
+# one pathological long-gap doc cannot OOM an executor (the width is
+# data-dependent: the longest obs-to-obs span in the Arrow chunk).
+_SEG_MATRIX_CAP = 256 << 20
+
+
+def _segment_cum_blocked(n_segs, seg_ord, pos, r, right_pos, r_right,
+                         mem_cap=_SEG_MATRIX_CAP):
+    """Per-segment sequential cumsum with bounded memory.
+
+    Identical (bit-for-bit) to ``np.cumsum`` over the one-shot padded
+    matrix: each column block seeds column 0 with the carry (the running
+    cumsum at the block boundary), so the float addition ORDER matches
+    the unblocked sequential scan exactly — this is what preserves the
+    tiny-response-range precision the padded form exists for.
+
+    Returns (cum over spine entries, in_min per segment, in_max per
+    segment).
+    """
+    bw = max(64, int(mem_cap // (16 * max(n_segs, 1))))
+    width = int(right_pos.max()) + 1
+    n_blocks = (width + bw - 1) // bw
+    cum = np.empty(len(pos), dtype=np.float64)
+    in_max_s = np.empty(n_segs, dtype=np.float64)
+    # group spine entries by column block once (O(total log total))
+    blk = pos // bw
+    order = np.argsort(blk, kind="stable")
+    blk_sorted = blk[order]
+    b_starts = np.searchsorted(blk_sorted, np.arange(n_blocks))
+    b_ends = np.searchsorted(blk_sorted, np.arange(n_blocks) + 1)
+    rblk = right_pos // bw
+    carry = np.zeros(n_segs, dtype=np.float64)
+    Mb = np.empty((n_segs, bw + 1), dtype=np.float64)
+    seg_ids = np.arange(n_segs)
+    for k in range(n_blocks):
+        lo = k * bw
+        Mb[:] = 0.0
+        Mb[:, 0] = carry
+        idx = order[b_starts[k]:b_ends[k]]
+        Mb[seg_ord[idx], pos[idx] - lo + 1] = r[idx]
+        rsel = rblk == k
+        Mb[seg_ids[rsel], right_pos[rsel] - lo + 1] = r_right[rsel]
+        np.cumsum(Mb, axis=1, out=Mb)
+        cum[idx] = Mb[seg_ord[idx], pos[idx] - lo + 1]
+        in_max_s[rsel] = Mb[seg_ids[rsel], right_pos[rsel] - lo + 1]
+        carry = Mb[:, bw].copy()
+    # cum at offset 0 is the left anchor's own response value — the
+    # scatter writes it, so cum(0) == r(left) exactly (in_min of the
+    # one-shot path's cumM[:, 0])
+    in_min_s = np.empty(n_segs, dtype=np.float64)
+    at0 = pos == 0
+    in_min_s[seg_ord[at0]] = cum[at0]
+    return cum, in_min_s, in_max_s
 
 
 def gapfill_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
@@ -224,17 +315,25 @@ def gapfill_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
         a_r_s = seg_left + 1
         right_pos = (h[a_r_s] - h[seg_left]).astype(np.int64)
         width = int(right_pos.max()) + 1
-        M = np.zeros((n_segs, width), dtype=np.float64)
-        M[seg_ord, pos] = r
-        M[np.arange(n_segs), right_pos] = r[pos_in_spine(a_r_s)]
-        cumM = np.cumsum(M, axis=1, out=M)  # in-place: no second matrix
-        in_min_s = cumM[:, 0].copy()
-        in_max_s = cumM[np.arange(n_segs), right_pos]
+        r_right = r[pos_in_spine(a_r_s)]
+        if n_segs * width * 8 <= _SEG_MATRIX_CAP:
+            M = np.zeros((n_segs, width), dtype=np.float64)
+            M[seg_ord, pos] = r
+            M[np.arange(n_segs), right_pos] = r_right
+            cumM = np.cumsum(M, axis=1, out=M)  # in-place: no second matrix
+            in_min_s = cumM[:, 0].copy()
+            in_max_s = cumM[np.arange(n_segs), right_pos]
+            value = cumM[seg_ord, pos]  # cum, reused as the output buffer
+        else:
+            # one doc with a multi-year gap must not OOM the executor:
+            # same sequential cumsum, column-blocked with a carry
+            value, in_min_s, in_max_s = _segment_cum_blocked(
+                n_segs, seg_ord, pos, r, right_pos, r_right
+            )
         rng_s = in_max_s - in_min_s
         # fused fractional-progress math, minimal temporaries:
         # frac = (cum - in_min) / rng, with the (rare) flat-response
         # segments patched to time-linear afterwards
-        value = cumM[seg_ord, pos]  # cum, reused as the output buffer
         np.subtract(value, in_min_s[seg_ord], out=value)
         with np.errstate(invalid="ignore", divide="ignore"):
             np.divide(value, rng_s[seg_ord], out=value)

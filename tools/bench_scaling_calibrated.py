@@ -63,14 +63,28 @@ def probe_capacity(pool: mp.Pool, settle: float = 2.5) -> float:
     return sum(res) / wall / 1e6
 
 
-def run_once(cores: int) -> float:
+def _read_stat() -> tuple[int, int]:
+    """(busy, steal) jiffies from /proc/stat's aggregate cpu line."""
+    parts = open("/proc/stat").readline().split()
+    user, nice, system, _idle, _iow, irq, softirq, steal = map(
+        int, parts[1:9]
+    )
+    return user + nice + system + irq + softirq, steal
+
+
+def run_once(cores: int) -> dict:
     """One timed flagship run at `cores` (noop sink).
 
     The fresh context's Python workers cold-import pandas/numpy inside
     the first job (~2 s across all slots) — a per-SESSION cost that a
     long-lived cluster pays once, so an untimed tiny warm job (same
     mapInPandas path, every slot touched) runs first and the timed run
-    measures steady-state engine throughput."""
+    measures steady-state engine throughput.
+
+    /proc/stat is read around the timed job: `busy_cores` is the average
+    cores actually executing, `steal_cores` the average stolen by the
+    hypervisor DURING the run — this catches mid-run throttles the
+    bracketing probes cannot see (they only sample between runs)."""
     spark = get_spark(
         f"s2tt_cal_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
     )
@@ -79,11 +93,18 @@ def run_once(cores: int) -> float:
     gapfill_tiers(warm, knockout=0.1).write.format("noop").mode(
         "overwrite"
     ).save()
+    b0, s0 = _read_stat()
     t0 = time.perf_counter()
     gapfill_tiers(seq, knockout=0.1).write.format("noop").mode("overwrite").save()
     sec = time.perf_counter() - t0
+    b1, s1 = _read_stat()
     spark.stop()
-    return sec
+    hz = os.sysconf("SC_CLK_TCK")
+    return {
+        "sec": sec,
+        "busy_cores": (b1 - b0) / hz / sec,
+        "steal_cores": (s1 - s0) / hz / sec,
+    }
 
 
 def main() -> None:
@@ -113,29 +134,52 @@ def main() -> None:
     for i in range(n_pairs):
         first, second = (low, high) if i % 2 == 0 else (high, low)
         c0 = probe_capacity(pool)
-        t_first = run_once(first)
+        r_first = run_once(first)
         c1 = probe_capacity(pool)
-        t_second = run_once(second)
+        r_second = run_once(second)
         c2 = probe_capacity(pool)
-        t_low, t_high = (t_first, t_second) if first == low else (t_second, t_first)
+        r_low, r_high = (r_first, r_second) if first == low else (r_second, r_first)
+        t_low, t_high = r_low["sec"], r_high["sec"]
         pairs.append({
             "order": f"{first}->{second}",
             "low_sec": round(t_low, 2), "high_sec": round(t_high, 2),
             "ratio": round(t_low / t_high, 3),
             "probes_M_per_s": [round(c0, 1), round(c1, 1), round(c2, 1)],
+            "low_busy_cores": round(r_low["busy_cores"], 1),
+            "high_busy_cores": round(r_high["busy_cores"], 1),
+            "low_steal_cores": round(r_low["steal_cores"], 2),
+            "high_steal_cores": round(r_high["steal_cores"], 2),
         })
         print(f"pair {i + 1}/{n_pairs} [{first}->{second}]: "
               f"{low}c {t_low:.1f}s  {high}c {t_high:.1f}s  "
               f"ratio {t_low / t_high:.2f}  probes "
-              f"{c0:.0f}/{c1:.0f}/{c2:.0f} M/s",
+              f"{c0:.0f}/{c1:.0f}/{c2:.0f} M/s  busy "
+              f"{r_low['busy_cores']:.0f}/{r_high['busy_cores']:.0f}  steal "
+              f"{r_low['steal_cores']:.1f}/{r_high['steal_cores']:.1f}",
               file=sys.stderr, flush=True)
     pool.close()
 
     peak = max(max(p["probes_M_per_s"]) for p in pairs)
     tol = 0.75
-    clean = [p for p in pairs if min(p["probes_M_per_s"]) >= tol * peak]
-    throttled = [p for p in pairs if p not in clean]
     ideal = high / low
+    # Clean-pair criteria, each targeting a distinct failure mode the
+    # bursty host exhibits:
+    #  (1) bracketing probes >= tol*peak — host had full capacity at
+    #      the pair's boundaries;
+    #  (2) ratio <= 1.02*ideal — a super-ideal ratio is physically
+    #      impossible and means a throttle landed MID-RUN on the
+    #      low-core half, between probes (2% timer-noise headroom);
+    #  (3) per-run /proc/stat steal DURING each half < 1 core — direct
+    #      evidence the hypervisor didn't take cores away mid-run
+    #      (catches throttles in either half that (1) cannot see).
+    superideal = ideal * 1.02
+    clean = [
+        p for p in pairs
+        if min(p["probes_M_per_s"]) >= tol * peak
+        and p["ratio"] <= superideal
+        and max(p["low_steal_cores"], p["high_steal_cores"]) < 1.0
+    ]
+    throttled = [p for p in pairs if p not in clean]
 
     def med(ps):
         return round(statistics.median(x["ratio"] for x in ps), 3) if ps else None
@@ -145,8 +189,15 @@ def main() -> None:
         "job": "fused gapfill + per-doc 3-tier rollup (narrow, noop sink)",
         "methodology": "back-to-back alternating-order pairs; 32-way burn "
                        "probes bracket each run; CLEAN pair = all probes >= "
-                       f"{tol:.0%} of session peak capacity; engine "
-                       "efficiency = median clean-pair ratio / ideal",
+                       f"{tol:.0%} of session peak capacity AND ratio <= "
+                       "1.02*ideal (super-ideal ratios imply a mid-run "
+                       "throttle on the low-core half and are excluded); "
+                       "engine efficiency = median clean-pair ratio / ideal",
+        "n_superideal_excluded": sum(
+            1 for p in pairs
+            if min(p["probes_M_per_s"]) >= tol * peak
+            and p["ratio"] > superideal
+        ),
         "n_docs": n_docs,
         "rolled_points": n_points,
         "low_cores": low,
