@@ -105,14 +105,35 @@ def main() -> None:
     fused_points = spark.read.parquet("/tmp/bench_fused_tiers").count()
     timings["engine_fused_gapfill_tiers"] = round(fused_sec, 4)
 
-    # Gorilla segment compression ratio over a 5k-doc observation sample
-    # (applyInPandas per-group overhead dominates with tiny groups, so the
-    # metric sample is bounded; the codec itself is O(points))
+    # Gorilla compression ratio, per series shape:
+    # (a) sparse irregular observation segments (11-17 obs/doc) — little
+    #     delta-of-delta regularity, ratio ~1.5;
+    # (b) dense hourly rollup output (the workload the codec targets) —
+    #     timestamps collapse to ~1 bit (delta-of-delta = 0) and the
+    #     ratio is bounded by value-XOR entropy on the smooth
+    #     reconstruction, ~2.2x. A deterministic 1-in-20 doc sample of
+    #     the fused hourly tier keeps the metric pass bounded.
     comp_obs = decode_observations_arrow(generate_sequences(spark, 5000, partitions=cpus))
     comp = compress_segments(comp_obs).agg(
         F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
     ).collect()[0]
     compression_ratio = round(comp["raw"] / comp["enc"], 3)
+    hourly_dense = (
+        spark.read.parquet("/tmp/bench_fused_tiers")
+        .filter(
+            (F.col("tier") == "hourly")
+            & (F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0)
+        )
+        .select(
+            "source", "doc_id",
+            F.col("bucket_ts").alias("ts"),
+            F.col("mean_value").alias("value"),
+        )
+    )
+    comp_h = compress_segments(hourly_dense).agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+    ).collect()[0]
+    compression_ratio_hourly = round(comp_h["raw"] / comp_h["enc"], 3)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -134,6 +155,7 @@ def main() -> None:
                 "sequences_per_sec": round(fused_docs / fused_sec, 1),
             },
             "gorilla_compression_ratio": compression_ratio,
+            "gorilla_compression_ratio_dense_hourly": compression_ratio_hourly,
         },
         "cpus": cpus,
     }
