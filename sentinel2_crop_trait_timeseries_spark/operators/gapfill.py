@@ -220,13 +220,14 @@ def _segment_cum_blocked(n_segs, seg_ord, pos, r, right_pos, r_right,
     return cum, in_min_s, in_max_s
 
 
-def gapfill_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
+def _gapfill_core(pdf: pd.DataFrame, curve: str = "asymptotic",
                   params: dict | None = None, knockout: float = 0.0,
-                  outlier_filter: bool = True, seed: int = 42) -> pd.DataFrame:
-    """Gap-fill one Arrow batch of sequence rows -> dense hourly frame."""
-    if len(pdf) == 0:
-        return pd.DataFrame({"source": [], "doc_id": [], "ts": [], "value": [],
-                             "is_obs": []}).astype({"ts": "datetime64[us]"})
+                  outlier_filter: bool = True, seed: int = 42):
+    """Gap-fill one Arrow batch -> flat (doc_idx, hour, value, is_obs)
+    arrays, doc-contiguous and time-ascending within doc. The array form
+    feeds both the dense-frame surface (gapfill_batch) and the fused
+    tier rollup (gapfill_tiers_batch) without materializing the
+    intermediate frame."""
     doc_of_obs, hours, vals, n_obs = decode_batch(pdf)
     key_hash = _doc_key_hash(pdf["doc_id"].to_numpy(), seed)
 
@@ -357,17 +358,35 @@ def gapfill_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
     out_hr = np.concatenate((hr, h[lone]))
     out_val = np.concatenate((value, y[lone]))
     out_obs = np.concatenate((is_obs_hr, np.ones(int(lone.sum()), dtype=bool)))
+    return out_doc, out_hr, out_val, out_obs
 
+
+def gapfill_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
+                  params: dict | None = None, knockout: float = 0.0,
+                  outlier_filter: bool = True, seed: int = 42) -> pd.DataFrame:
+    """Gap-fill one Arrow batch of sequence rows -> dense hourly frame."""
+    if len(pdf) == 0:
+        return pd.DataFrame({"source": [], "doc_id": [], "ts": [], "value": [],
+                             "is_obs": []}).astype({"ts": "datetime64[us]"})
+    out_doc, out_hr, out_val, out_obs = _gapfill_core(
+        pdf, curve=curve, params=params, knockout=knockout,
+        outlier_filter=outlier_filter, seed=seed)
     src = pdf["source"].to_numpy()
     did = pdf["doc_id"].to_numpy()
+    # copy=False: pandas 2.x keeps each ndarray as its own block —
+    # the default consolidates same-dtype columns into one 2D block,
+    # a full re-copy of the multi-hundred-MB batch output
     return pd.DataFrame(
         {
             "source": src[out_doc],
             "doc_id": did[out_doc],
-            "ts": pd.to_datetime((EPOCH_UNIX + out_hr * HOUR) * 1_000_000, unit="us"),
+            "ts": ((EPOCH_UNIX + out_hr * HOUR) * 1_000_000).astype(
+                "datetime64[us]"
+            ),
             "value": out_val,
             "is_obs": out_obs,
-        }
+        },
+        copy=False,
     )
 
 
@@ -407,70 +426,105 @@ def _tier_rollup_np(doc, sec, val, n_docs):
 
     Equivalent to cascade(rollup_tier(...)) on the dense rows, but
     computed inside the Arrow batch: a sequence row holds its entire
-    doc, so per-doc tiers never need a shuffle. Rows arrive
-    doc-contiguous; a stable argsort on the composite key makes
-    reduceat segments exact.
+    doc, so per-doc tiers never need a shuffle.
+
+    Rows arrive doc-major and time-ascending within doc (the dense
+    spine), so every tier's (doc, bucket) key is ALREADY nondecreasing
+    along the row axis: no argsort, no np.unique — run boundaries come
+    from one vectorized neighbor-compare. Three structural wins vs the
+    sort-based form (~3x on the kernel):
+    - hourly is an IDENTITY map (the spine has exactly one row per
+      (doc, hour)) — zero grouping work;
+    - daily reduceats the dense rows once, over contiguous runs;
+    - weekly composes daily's algebraic partials (sum/min/max/count
+      are associative), reduceat over ~1/24th the rows.
     """
     out = {}
-    hour = sec  # already hour-aligned epoch seconds
+    doc = doc.astype(np.int64)
+    vv = val * val
+    # hourly: one dense row per (doc, hour) — identity
+    out["hourly"] = (
+        doc, sec, np.ones(len(sec), dtype=np.int64), val, val, val, vv
+    )
+    # daily: contiguous runs of (doc, day)
     day = (sec // _DAY) * _DAY
-    week = ((sec + _WEEK_SHIFT) // (7 * _DAY)) * (7 * _DAY) - _WEEK_SHIFT
-    for tier, bucket in (("hourly", hour), ("daily", day), ("weekly", week)):
-        key = doc.astype(np.int64) * (np.int64(1) << 42) + bucket
-        order = np.argsort(key, kind="stable")
-        k_s, v_s = key[order], val[order]
-        uniq, starts = np.unique(k_s, return_index=True)
-        n = np.diff(np.concatenate((starts, [len(k_s)])))
-        out[tier] = (
-            (uniq >> 42).astype(np.int64),                  # doc idx
-            (uniq & ((np.int64(1) << 42) - 1)).astype(np.int64),  # bucket sec
-            n.astype(np.int64),
-            np.add.reduceat(v_s, starts),
-            np.minimum.reduceat(v_s, starts),
-            np.maximum.reduceat(v_s, starts),
-            np.add.reduceat(v_s * v_s, starts),
-        )
+    chg = (doc[1:] != doc[:-1]) | (day[1:] != day[:-1])
+    starts = np.concatenate(([0], np.flatnonzero(chg) + 1))
+    n_d = np.diff(np.concatenate((starts, [len(day)])))
+    d_doc = doc[starts]
+    d_sum = np.add.reduceat(val, starts)
+    d_min = np.minimum.reduceat(val, starts)
+    d_max = np.maximum.reduceat(val, starts)
+    d_ss = np.add.reduceat(vv, starts)
+    out["daily"] = (d_doc, day[starts], n_d, d_sum, d_min, d_max, d_ss)
+    # weekly: compose the daily partials
+    week = ((day[starts] + _WEEK_SHIFT) // (7 * _DAY)) * (7 * _DAY) - _WEEK_SHIFT
+    chg2 = (d_doc[1:] != d_doc[:-1]) | (week[1:] != week[:-1])
+    s2 = np.concatenate(([0], np.flatnonzero(chg2) + 1))
+    out["weekly"] = (
+        d_doc[s2],
+        week[s2],
+        np.add.reduceat(n_d, s2),
+        np.add.reduceat(d_sum, s2),
+        np.minimum.reduceat(d_min, s2),
+        np.maximum.reduceat(d_max, s2),
+        np.add.reduceat(d_ss, s2),
+    )
     return out
 
 
 def gapfill_tiers_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
                         params: dict | None = None, knockout: float = 0.0,
                         outlier_filter: bool = True, seed: int = 42) -> pd.DataFrame:
-    dense = gapfill_batch(pdf, curve=curve, params=params, knockout=knockout,
-                          outlier_filter=outlier_filter, seed=seed)
-    if len(dense) == 0:
+    if len(pdf) == 0:
         return pd.DataFrame(
             {c: [] for c in ["tier", "source", "doc_id", "bucket_ts", "n",
                              "sum_value", "mean_value", "min_value",
                              "max_value", "sumsq_value"]}
         ).astype({"bucket_ts": "datetime64[us]", "n": "int64"})
-    # recover doc index + epoch seconds from the dense frame
-    codes, _ = pd.factorize(dense["doc_id"], sort=False)
-    sec = dense["ts"].astype("datetime64[s]").astype("int64").to_numpy()
-    val = dense["value"].to_numpy()
-    first_rows = np.unique(codes, return_index=True)[1]
-    doc_src = dense["source"].to_numpy()[first_rows]
-    doc_did = dense["doc_id"].to_numpy()[first_rows]
-    tiers = _tier_rollup_np(codes, sec, val, len(first_rows))
-    frames = []
-    for tier, (di, bucket, n, s, mn, mx, ss) in tiers.items():
-        frames.append(
-            pd.DataFrame(
-                {
-                    "tier": tier,
-                    "source": doc_src[di],
-                    "doc_id": doc_did[di],
-                    "bucket_ts": pd.to_datetime(bucket * 1_000_000, unit="us"),
-                    "n": n,
-                    "sum_value": s,
-                    "mean_value": s / n,
-                    "min_value": mn,
-                    "max_value": mx,
-                    "sumsq_value": ss,
-                }
-            )
-        )
-    return pd.concat(frames, ignore_index=True)
+    # flat arrays straight from the core — no intermediate dense frame,
+    # no factorize, no datetime round-trip
+    out_doc, out_hr, val, _ = _gapfill_core(
+        pdf, curve=curve, params=params, knockout=knockout,
+        outlier_filter=outlier_filter, seed=seed)
+    if len(out_doc) == 0:
+        return pd.DataFrame(
+            {c: [] for c in ["tier", "source", "doc_id", "bucket_ts", "n",
+                             "sum_value", "mean_value", "min_value",
+                             "max_value", "sumsq_value"]}
+        ).astype({"bucket_ts": "datetime64[us]", "n": "int64"})
+    sec = EPOCH_UNIX + out_hr * HOUR
+    doc_src = pdf["source"].to_numpy()
+    doc_did = pdf["doc_id"].to_numpy()
+    tiers = _tier_rollup_np(out_doc, sec, val, len(pdf))
+    # assemble ONE frame (a 3-frame pd.concat re-copies every column)
+    parts = list(tiers.items())
+    di = np.concatenate([p[1][0] for p in parts])
+    bucket = np.concatenate([p[1][1] for p in parts])
+    n = np.concatenate([p[1][2] for p in parts])
+    s = np.concatenate([p[1][3] for p in parts])
+    mn = np.concatenate([p[1][4] for p in parts])
+    mx = np.concatenate([p[1][5] for p in parts])
+    ss = np.concatenate([p[1][6] for p in parts])
+    tier_col = np.repeat(
+        np.array([t for t, _ in parts], dtype=object),
+        [len(p[1][0]) for p in parts],
+    )
+    return pd.DataFrame(
+        {
+            "tier": tier_col,
+            "source": doc_src[di],
+            "doc_id": doc_did[di],
+            "bucket_ts": (bucket * 1_000_000).astype("datetime64[us]"),
+            "n": n,
+            "sum_value": s,
+            "mean_value": s / n,
+            "min_value": mn,
+            "max_value": mx,
+            "sumsq_value": ss,
+        },
+        copy=False,  # per-column blocks, no consolidation re-copy
+    )
 
 
 def gapfill_tiers(seq: DataFrame, curve: str = "asymptotic",
