@@ -77,9 +77,10 @@ _HEAD = [
     "pricing_summary",
     "revenue_by_nation",
     "brand_part_stats",
-    "customers_no_orders",
+    "kernel_smooth_events",
 ]
 _TAIL = [
+    "customers_no_orders",
     "gapfill_linear",
     "ann_lsh_bucketed",
     "rollup_weekly_cascade",

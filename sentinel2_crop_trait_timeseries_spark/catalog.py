@@ -1598,6 +1598,100 @@ def string_map_surface(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Kernel smoothing (the reference's smooth.spline(DOY, LAI) analog,
+# /root/reference/src/scripts_dose_response/00_data_preparation.R:79 —
+# its only smoothing step the engine previously lacked). Nadaraya-
+# Watson with a biweight kernel w = (1-u^2)^2, u = dt/H, H = 2 h.
+#
+# Scale shape: candidates come from an LSH-style time-bucket equi-join
+# (each right row exploded to its 3 adjacent H-sized buckets — the
+# spatial_snap_nn pattern on a 1-D axis), never a cross join; the
+# kernel is then aggregated per left event. A pure window-function form
+# exists (expand (t_i-t_j)^4 into range-frame moment sums S_k = sum
+# t_j^k v_j), but epoch-scale t^4 moments reach ~1e14 and the final
+# combination cancels to O(1) — ~1e-2 absolute fp error, hopeless for
+# a 4-dp cross-engine hash. The join form computes dt directly (exact
+# int64), so each weight is bit-identical in both engines.
+# =====================================================================
+
+_SMOOTH_H = 7200  # bandwidth, seconds
+
+_SMOOTH_SQL = f"""
+    WITH e AS (
+      SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS sec,
+             value
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, sec, value,
+             cast(floor(sec / {_SMOOTH_H}.0) AS bigint) + o.off AS b
+      FROM e CROSS JOIN (VALUES (-1), (0), (1)) AS o(off)
+    ),
+    pairs AS (
+      SELECT l.user_id, l.event_id, l.sec,
+             (l.sec - r.sec) * (l.sec - r.sec) AS d2, r.value AS rv
+      FROM e l JOIN r
+        ON l.user_id = r.user_id
+       AND cast(floor(l.sec / {_SMOOTH_H}.0) AS bigint) = r.b
+      WHERE (l.sec - r.sec) * (l.sec - r.sec)
+             <= {_SMOOTH_H * _SMOOTH_H}
+    ),
+    k AS (
+      SELECT user_id, event_id, sec,
+             (1.0 - d2 / {float(_SMOOTH_H * _SMOOTH_H)})
+             * (1.0 - d2 / {float(_SMOOTH_H * _SMOOTH_H)}) AS w, rv
+      FROM pairs
+    )
+    SELECT user_id, event_id, sec AS ts_epoch,
+           round(1e-9 + sum(w * rv) / sum(w), 4) AS smoothed,
+           count(*) AS n_win
+    FROM k GROUP BY user_id, event_id, sec
+"""
+
+
+@_q("kernel_smooth_events", _SMOOTH_SQL)
+def kernel_smooth_events(spark, sf_dir):
+    """Per-user kernel smoothing of the event value series (biweight,
+    2 h bandwidth) — see the block comment above for the scale plan and
+    why the banded equi-join beats the window-moment form numerically."""
+    ev = _t(spark, sf_dir, "events")
+    h = _SMOOTH_H
+    e = ev.select(
+        "user_id", "event_id", _epoch("ts").alias("sec"), "value"
+    )
+    r = e.select(
+        "user_id",
+        F.col("sec").alias("rsec"),
+        F.col("value").alias("rv"),
+        F.explode(
+            F.array(
+                F.floor(F.col("sec") / h) - 1,
+                F.floor(F.col("sec") / h),
+                F.floor(F.col("sec") / h) + 1,
+            )
+        ).alias("b"),
+    )
+    l = e.withColumn("lb", F.floor(F.col("sec") / h))
+    d2 = (F.col("sec") - F.col("rsec")) * (F.col("sec") - F.col("rsec"))
+    h2 = float(h * h)
+    pairs = (
+        l.join(r, (l["user_id"] == r["user_id"]) & (F.col("lb") == F.col("b")))
+        .drop(r["user_id"])
+        .filter(d2 <= h * h)
+        .withColumn("w", (1.0 - d2 / h2) * (1.0 - d2 / h2))
+    )
+    return pairs.groupBy("user_id", "event_id", "sec").agg(
+        F.round(
+            F.lit(1e-9) + F.sum(F.col("w") * F.col("rv")) / F.sum("w"), 4
+        ).alias("smoothed"),
+        F.count(F.lit(1)).alias("n_win"),
+    ).select(
+        "user_id", "event_id", F.col("sec").alias("ts_epoch"),
+        "smoothed", "n_win",
+    )
+
+
 # register the documents/embeddings training-data pipeline queries
 from sentinel2_crop_trait_timeseries_spark import catalog_docs  # noqa: E402,F401
 from sentinel2_crop_trait_timeseries_spark import catalog_engine  # noqa: E402,F401

@@ -164,3 +164,12 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for name in ("b_spend", "b_views"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+
+
+def test_kernel_smooth_banded_equijoin(spark):
+    """The kernel smoother's candidate search is a (user, time-bucket)
+    hash equi-join (right side exploded to 3 adjacent buckets), never a
+    range/cross join."""
+    plan = _executed(spark, "kernel_smooth_events")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
