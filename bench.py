@@ -55,6 +55,8 @@ HEADLINE = [
     "lut_inversion_topk",
     "spatial_snap_nn",
     "ann_multiprobe",
+    # round-3 addition: kernel smoother (banded 1-D grid join)
+    "kernel_smooth_events",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -170,6 +170,22 @@ def _knockout_mask(key_hash: np.ndarray, doc_of_obs: np.ndarray,
 # data-dependent: the longest obs-to-obs span in the Arrow chunk).
 _SEG_MATRIX_CAP = 256 << 20
 
+# Docs per kernel chunk. Output is per-doc, so ANY chunking yields
+# identical results; the size is a pure malloc-behavior knob. It must
+# keep the chunk's working arrays (~470k dense points -> ~4 MB each)
+# UNDER glibc's 32 MB mmap threshold: with 4096-doc chunks every
+# temporary was a fresh multi-hundred-MB mmap/munmap, and at 32
+# concurrent workers the munmap TLB-shootdown IPIs + page zeroing put
+# ~22 of 32 cores into SYSTEM time (measured /proc/stat split 6.0 user
+# / 22.5 sys during a 100k-doc local[32] run — the 32-thread job ran
+# SLOWER than 8 threads). Small chunks let glibc recycle the heap:
+# same bytes touched, no kernel churn. Measured at 100k docs, local[32],
+# noop sink: chunk 4096 -> 108 s (22 sys cores); 512 -> 8.8 s;
+# 256 -> 5.8 s with 26 user / 2.7 sys cores. 256 holds the optimum
+# (128 is equal); the single-thread kernel is unchanged (>450k points
+# per call keeps the numpy fixed costs amortized).
+CHUNK_DOCS = 256
+
 
 def _segment_cum_blocked(n_segs, seg_ord, pos, r, right_pos, r_right,
                          mem_cap=_SEG_MATRIX_CAP):
@@ -395,7 +411,7 @@ def gapfill(seq: DataFrame, curve: str = "asymptotic", params: dict | None = Non
             seed: int = 42) -> DataFrame:
     """sequences -> dense hourly reconstruction, as a narrow mapInPandas."""
 
-    chunk = 4096  # bounds the padded segment matrix to ~150 MB
+    chunk = CHUNK_DOCS
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -540,7 +556,7 @@ def gapfill_tiers(seq: DataFrame, curve: str = "asymptotic",
     ever shuffle, and those shuffle pre-reduced rollup rows.
     Output is identical to cascade(gapfill(seq)) (tested property).
     """
-    chunk = 4096
+    chunk = CHUNK_DOCS
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""One-notch scale run: fused gapfill+tiers at 1M docs (BENCH.md row).
+
+Reports rolled points/sec at two parallelism levels with per-run
+/proc/stat busy/steal (clean-window classification), noop sink by
+default; optionally a parquet-sink run at a reduced doc count so the
+single-local-disk sandbox sink doesn't dominate the wall clock.
+
+Usage: python tools/bench_big.py [n_docs] [reps32] [reps8]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sentinel2_crop_trait_timeseries_spark.session import get_spark  # noqa: E402
+from sentinel2_crop_trait_timeseries_spark.sources.gen import generate_sequences  # noqa: E402
+from sentinel2_crop_trait_timeseries_spark.operators.gapfill import gapfill_tiers  # noqa: E402
+
+SEQ_PATH = "/tmp/bench_big_seq.parquet"
+
+
+def _read_stat():
+    parts = open("/proc/stat").readline().split()
+    user, nice, system, _idle, _iow, irq, softirq, steal = map(int, parts[1:9])
+    return user + nice + system + irq + softirq, steal
+
+
+def run(cores: int, sink: str, reps: int, n_points: int) -> list[dict]:
+    hz = os.sysconf("SC_CLK_TCK")
+    out = []
+    # pin the whole session (JVM + workers inherit) to `cores` CPUs so
+    # the N-core level really uses N cores (see bench_scaling_calibrated)
+    os.sched_setaffinity(0, set(range(cores)))
+    spark = get_spark(f"s2tt_big_{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores)
+    seq = spark.read.parquet(SEQ_PATH)
+    # warm every worker slot (cold pandas import is a per-session cost)
+    gapfill_tiers(seq.limit(cores * 4).repartition(cores), knockout=0.1) \
+        .write.format("noop").mode("overwrite").save()
+    for _ in range(reps):
+        b0, s0 = _read_stat()
+        t0 = time.perf_counter()
+        w = gapfill_tiers(seq, knockout=0.1).write.mode("overwrite")
+        if sink == "noop":
+            w.format("noop").save()
+        else:
+            w.partitionBy("tier").parquet("/tmp/bench_big_tiers")
+        sec = time.perf_counter() - t0
+        b1, s1 = _read_stat()
+        rec = {
+            "cores": cores, "sink": sink, "sec": round(sec, 2),
+            "busy_cores": round((b1 - b0) / hz / sec, 1),
+            "steal_cores": round((s1 - s0) / hz / sec, 2),
+            "points_per_sec": round(n_points / sec, 1),
+        }
+        print(rec, file=sys.stderr, flush=True)
+        out.append(rec)
+    spark.stop()
+    os.sched_setaffinity(0, set(range(os.cpu_count())))
+    return out
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    reps32 = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    reps8 = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    gen = get_spark("s2tt_big_gen", master="local[32]", shuffle_partitions=32)
+    generate_sequences(gen, n_docs, partitions=256).write.mode(
+        "overwrite"
+    ).parquet(SEQ_PATH)
+    seq = gen.read.parquet(SEQ_PATH)
+    n_points = sum(
+        r["count"]
+        for r in gapfill_tiers(seq, knockout=0.1).groupBy("tier").count().collect()
+    )
+    gen.stop()
+
+    runs = run(32, "noop", reps32, n_points) + run(8, "noop", reps8, n_points)
+    best32 = min(r["sec"] for r in runs if r["cores"] == 32)
+    best8 = min(r["sec"] for r in runs if r["cores"] == 8)
+    print(json.dumps({
+        "job": "fused gapfill + per-doc 3-tier rollup (noop sink)",
+        "n_docs": n_docs,
+        "rolled_points": n_points,
+        "runs": runs,
+        "best_sec_32c": best32,
+        "best_sec_8c": best8,
+        "points_per_sec_32c_best": round(n_points / best32, 1),
+        "points_per_sec_8c_best": round(n_points / best8, 1),
+        "best_ratio": round(best8 / best32, 2),
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

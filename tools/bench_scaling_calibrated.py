@@ -84,21 +84,36 @@ def run_once(cores: int) -> dict:
     /proc/stat is read around the timed job: `busy_cores` is the average
     cores actually executing, `steal_cores` the average stolen by the
     hypervisor DURING the run — this catches mid-run throttles the
-    bracketing probes cannot see (they only sample between runs)."""
-    spark = get_spark(
-        f"s2tt_cal_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
-    )
-    seq = spark.read.parquet(SEQ_PATH)
-    warm = seq.limit(cores * 4).repartition(cores)
-    gapfill_tiers(warm, knockout=0.1).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    b0, s0 = _read_stat()
-    t0 = time.perf_counter()
-    gapfill_tiers(seq, knockout=0.1).write.format("noop").mode("overwrite").save()
-    sec = time.perf_counter() - t0
-    b1, s1 = _read_stat()
-    spark.stop()
+    bracketing probes cannot see (they only sample between runs).
+
+    CPU AFFINITY: the process (and therefore the spawned JVM + Python
+    workers, which inherit it) is pinned to `cores` CPUs for the run.
+    Without this, local[8] is NOT an 8-core proxy — JVM helper threads
+    (GC, Arrow IPC readers, ColumnarToRow) ran beside the 8 task slots
+    and the "8-core" level consumed ~12 physical cores (measured
+    /proc/stat user=11.9 on a local[8] run), silently deflating the
+    8->32 ratio. Pinning makes N mean N."""
+    os.sched_setaffinity(0, set(range(cores)))
+    try:
+        spark = get_spark(
+            f"s2tt_cal_{cores}", master=f"local[{cores}]",
+            shuffle_partitions=cores,
+        )
+        seq = spark.read.parquet(SEQ_PATH)
+        warm = seq.limit(cores * 4).repartition(cores)
+        gapfill_tiers(warm, knockout=0.1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        b0, s0 = _read_stat()
+        t0 = time.perf_counter()
+        gapfill_tiers(seq, knockout=0.1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sec = time.perf_counter() - t0
+        b1, s1 = _read_stat()
+        spark.stop()
+    finally:
+        os.sched_setaffinity(0, set(range(os.cpu_count())))
     hz = os.sysconf("SC_CLK_TCK")
     return {
         "sec": sec,
