@@ -387,15 +387,24 @@ def gapfill_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
     out_doc, out_hr, out_val, out_obs = _gapfill_core(
         pdf, curve=curve, params=params, knockout=knockout,
         outlier_filter=outlier_filter, seed=seed)
-    src = pdf["source"].to_numpy()
-    did = pdf["doc_id"].to_numpy()
+    # string columns ride as pandas Categorical -> Arrow DICTIONARY
+    # arrays: the per-doc-constant strings become int32 codes on the
+    # worker->JVM socket (~35 B/row of redundant string bytes dropped —
+    # the dense output is memory-bandwidth-bound end to end) and the
+    # per-row object gathers become integer gathers. Spark reads
+    # dictionary arrays natively as string columns.
+    src_cat = pd.Categorical(pdf["source"])
     # copy=False: pandas 2.x keeps each ndarray as its own block —
     # the default consolidates same-dtype columns into one 2D block,
     # a full re-copy of the multi-hundred-MB batch output
     return pd.DataFrame(
         {
-            "source": src[out_doc],
-            "doc_id": did[out_doc],
+            "source": pd.Categorical.from_codes(
+                src_cat.codes[out_doc], categories=src_cat.categories
+            ),
+            "doc_id": pd.Categorical.from_codes(
+                out_doc, categories=pdf["doc_id"]
+            ),
             "ts": ((EPOCH_UNIX + out_hr * HOUR) * 1_000_000).astype(
                 "datetime64[us]"
             ),
@@ -522,15 +531,23 @@ def gapfill_tiers_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
     mn = np.concatenate([p[1][4] for p in parts])
     mx = np.concatenate([p[1][5] for p in parts])
     ss = np.concatenate([p[1][6] for p in parts])
-    tier_col = np.repeat(
-        np.array([t for t, _ in parts], dtype=object),
+    tier_codes = np.repeat(
+        np.arange(len(parts), dtype=np.int8),
         [len(p[1][0]) for p in parts],
     )
+    # Categorical -> Arrow dictionary: tier/source/doc_id strings are
+    # per-doc-constant; int codes over the socket instead of ~35 B/row
+    # of repeated strings, and integer gathers instead of object ones
+    src_cat = pd.Categorical(pd.Series(doc_src))
     return pd.DataFrame(
         {
-            "tier": tier_col,
-            "source": doc_src[di],
-            "doc_id": doc_did[di],
+            "tier": pd.Categorical.from_codes(
+                tier_codes, categories=[t for t, _ in parts]
+            ),
+            "source": pd.Categorical.from_codes(
+                src_cat.codes[di], categories=src_cat.categories
+            ),
+            "doc_id": pd.Categorical.from_codes(di, categories=doc_did),
             "bucket_ts": (bucket * 1_000_000).astype("datetime64[us]"),
             "n": n,
             "sum_value": s,
