@@ -76,10 +76,11 @@ _HEAD = [
     "json_props",
     "pricing_summary",
     "revenue_by_nation",
-    "brand_part_stats",
+    "ivf_train_kmeans",
     "kernel_smooth_events",
 ]
 _TAIL = [
+    "brand_part_stats",
     "customers_no_orders",
     "gapfill_linear",
     "ann_lsh_bucketed",
