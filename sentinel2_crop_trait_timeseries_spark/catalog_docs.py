@@ -347,20 +347,30 @@ def dedup_ngram_jaccard(spark, sf_dir):
 _MINHASH_K = 8  # 2 bands x 4 rows (4-row bands keep candidate selectivity high)
 
 
+def _km_sig_sql(lo: int) -> str:
+    return (
+        "md5("
+        + " || '_' || ".join(f"m{i}::VARCHAR" for i in range(lo, lo + 4))
+        + ")"
+    )
+
+
 @_q(
     "dedup_minhash_lsh",
     f"""
     WITH dw AS (SELECT DISTINCT doc_id, w FROM ({_SQL_WORDS})),
     hashes AS (
-      SELECT doc_id, i,
-             min({_SQL_H.format(x="i::VARCHAR || '|' || w")}) AS m
-      FROM dw, LATERAL (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS i) t
-      GROUP BY 1, 2
+      SELECT doc_id,
+             {", ".join(
+                 "min(%s) AS m%d" % (_SQL_H.format(x="'%d|' || w" % i), i)
+                 for i in range(_MINHASH_K)
+             )}
+      FROM dw GROUP BY 1
     ),
     bands AS (
-      SELECT doc_id, i // 4 AS band,
-             md5(string_agg(m::VARCHAR, '_' ORDER BY i)) AS sig
-      FROM hashes GROUP BY 1, 2
+      SELECT doc_id, 0 AS band, {_km_sig_sql(0)} AS sig FROM hashes
+      UNION ALL
+      SELECT doc_id, 1 AS band, {_km_sig_sql(4)} AS sig FROM hashes
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(*) AS n_shared_bands
@@ -371,35 +381,44 @@ _MINHASH_K = 8  # 2 bands x 4 rows (4-row bands keep candidate selectivity high)
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: unigram set -> 8 minhashes (60-bit keyed
-    hash family) -> 4 bands of 2 -> candidate pairs share a band
+    hash family) -> 2 bands of 4 -> candidate pairs share a band
     signature. The band join is an equi-join on (band, sig): at 100 TB
     this is THE dedup plan — candidates are found by shuffle-join on
-    short signatures, never by all-pairs comparison."""
+    short signatures, never by all-pairs comparison.
+
+    Plan shape: all 8 minhashes ride ONE groupBy(doc_id) as parallel
+    min() aggregate columns (map-side combinable) over the (doc, word)
+    rows — the r2 form exploded each word 8x and shuffled twice more
+    (groupBy(doc, i), then groupBy(doc, band) with a collect_list);
+    same output rows, 3 shuffles and an 8x row explosion removed
+    (the simhash bit-vote trick applied to minhash)."""
     d = _t(spark, sf_dir, "documents")
     dw = _words(d, distinct=True)
-    hashes = (
-        dw.select(
-            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("i"), "w"
-        )
-        .select(
-            "doc_id", "i",
-            _h(F.concat_ws("|", F.col("i").cast("string"), F.col("w"))).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("m"))
+    mins = dw.groupBy("doc_id").agg(
+        *[
+            F.min(
+                _h(F.concat_ws("|", F.lit(str(i)), F.col("w")))
+            ).alias(f"m{i}")
+            for i in range(_MINHASH_K)
+        ]
     )
-    sig = F.md5(
-        F.concat_ws(
-            "_",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "m"))),
-                lambda s: s["m"].cast("string"),
-            ),
-        ).cast("binary")
-    )
-    bands = hashes.groupBy(
-        "doc_id", F.floor(F.col("i") / 4).cast("int").alias("band")
-    ).agg(sig.alias("sig"))
+
+    def bsig(lo: int) -> F.Column:
+        return F.md5(
+            F.concat_ws(
+                "_", *[F.col(f"m{i}").cast("string") for i in range(lo, lo + 4)]
+            ).cast("binary")
+        )
+
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), bsig(0).alias("sig")),
+                F.struct(F.lit(1).alias("band"), bsig(4).alias("sig")),
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

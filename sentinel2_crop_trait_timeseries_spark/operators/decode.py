@@ -136,17 +136,24 @@ def decode_observations_arrow(seq: DataFrame) -> DataFrame:
     def fn(it):
         for pdf in it:
             d, hours, vals, _ = _g.decode_batch(pdf)
-            src = pdf["source"].to_numpy()
-            did = pdf["doc_id"].to_numpy()
+            # Categorical -> Arrow dictionary: int codes over the
+            # worker-JVM socket instead of one string pair per obs row,
+            # and integer instead of object gathers (see gapfill.py)
+            src_cat = pd.Categorical(pdf["source"])
             yield pd.DataFrame(
                 {
-                    "source": src[d],
-                    "doc_id": did[d],
+                    "source": pd.Categorical.from_codes(
+                        src_cat.codes[d], categories=src_cat.categories
+                    ),
+                    "doc_id": pd.Categorical.from_codes(
+                        d, categories=pdf["doc_id"]
+                    ),
                     "ts": ((EPOCH_UNIX + hours * 3600) * 1_000_000).astype(
                         "datetime64[us]"
                     ),
                     "value": vals,
-                }
+                },
+                copy=False,
             )
 
     return seq.mapInPandas(
