@@ -55,8 +55,10 @@ HEADLINE = [
     "lut_inversion_topk",
     "spatial_snap_nn",
     "ann_multiprobe",
-    # round-3 addition: kernel smoother (banded 1-D grid join)
+    # round-3 additions: kernel smoother (banded 1-D grid join),
+    # k-means IVF codebook training (broadcast-join Lloyd rounds)
     "kernel_smooth_events",
+    "ivf_train_kmeans",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average
