@@ -164,3 +164,20 @@ def test_blocked_path_bit_exact_on_generator_batch(monkeypatch):
     monkeypatch.setattr(gf, "_SEG_MATRIX_CAP", 1 << 12)
     blocked = gapfill_batch(pdf, curve="non_linear", knockout=0.1)
     assert np.array_equal(fast["value"].to_numpy(), blocked["value"].to_numpy())
+
+
+def test_duplicate_timestamp_obs_match_oracle():
+    """dt=0 tokens (two obs in the same hour — impossible in the
+    reference's data, legal in the token format) must not crash and
+    must match the loop oracle: the zero-length segment collapses to
+    its flat-response fallback and the later value anchors the hour."""
+    toks = np.array([100, 1000, 0, 2000, 24, 3000], dtype=np.int32)
+    pdf = pd.DataFrame(
+        {"doc_id": ["dup-1"], "tokens": [toks], "n_tok": [6], "source": ["s"]}
+    )
+    got = gapfill_batch(pdf, curve="asymptotic", outlier_filter=False).sort_values("ts")
+    exp = gapfill_doc_oracle("dup-1", toks, curve="asymptotic",
+                             knockout=0.0, outlier_filter=False)
+    assert len(got) == len(exp)
+    assert np.allclose(got["value"].to_numpy(), exp["value"].to_numpy(),
+                       atol=1e-12)
