@@ -18,6 +18,12 @@ Cross-engine determinism rules (beyond catalog.py's):
 - rankings never order on raw doubles: order on round(x, 4) with an id
   tie-break, so a 1e-15 cross-engine fp wobble cannot flip a rank
 - scores used for argmax (lang-ID) are pure BIGINT sums
+- cosine similarities NEVER use DuckDB's list_cosine_similarity on the
+  raw FLOAT[] column: it accumulates in float32, whose ~1e-7 relative
+  error reaches the 4th decimal (one sf0.001 pair measured 0.2992 vs
+  0.2991). Oracles spell out the double-cast fold
+  list_inner_product(x::DOUBLE[], y::DOUBLE[]) / (|x| |y|), matching
+  Spark's per-element cast-to-double aggregate
 """
 
 from __future__ import annotations
@@ -545,9 +551,9 @@ def dedup_simhash(spark, sf_dir):
     WITH e AS (SELECT vec_id, embedding FROM embeddings)
     SELECT doc_a, doc_b, cos FROM (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-             round(1e-9 + list_cosine_similarity(a.embedding, b.embedding), 4) AS cos,
+             round(1e-9 + (list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))), 4) AS cos,
              row_number() OVER (
-               ORDER BY round(1e-9 + list_cosine_similarity(a.embedding, b.embedding), 4) DESC,
+               ORDER BY round(1e-9 + (list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))), 4) DESC,
                         a.vec_id, b.vec_id) AS rn
       FROM e a JOIN e b ON a.vec_id < b.vec_id
     ) WHERE rn <= 20
@@ -634,10 +640,10 @@ def dedup_embedding_cosine(spark, sf_dir, n_blocks: int = 8):
     c AS (SELECT vec_id, embedding FROM embeddings)
     SELECT query_id, neighbor_id, rank, cos FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(1e-9 + list_cosine_similarity(q.embedding, c.embedding), 4) AS cos,
+             round(1e-9 + (list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))), 4) AS cos,
              row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY round(1e-9 + list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+               ORDER BY round(1e-9 + (list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))), 4) DESC,
                         c.vec_id) AS rank
       FROM q JOIN c ON q.vec_id <> c.vec_id
     ) WHERE rank <= 3
@@ -669,10 +675,10 @@ def ann_topk_bruteforce(spark, sf_dir):
     )
     SELECT query_id, neighbor_id, rank, cos FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(1e-9 + list_cosine_similarity(q.embedding, c.embedding), 4) AS cos,
+             round(1e-9 + (list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))), 4) AS cos,
              row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY round(1e-9 + list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+               ORDER BY round(1e-9 + (list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))), 4) DESC,
                         c.vec_id) AS rank
       FROM sig q JOIN sig c
         ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
@@ -867,10 +873,10 @@ _ANN_IVF_SQL = f"""
     )
     SELECT query_id, neighbor_id, rank, cos FROM (
       SELECT p.query_id, c.neighbor_id,
-             round(1e-9 + list_cosine_similarity(p.qe, c.ec), 4) AS cos,
+             round(1e-9 + (list_inner_product(p.qe::DOUBLE[], c.ec::DOUBLE[]) / (sqrt(list_inner_product(p.qe::DOUBLE[], p.qe::DOUBLE[])) * sqrt(list_inner_product(c.ec::DOUBLE[], c.ec::DOUBLE[])))), 4) AS cos,
              row_number() OVER (
                PARTITION BY p.query_id
-               ORDER BY round(1e-9 + list_cosine_similarity(p.qe, c.ec), 4) DESC,
+               ORDER BY round(1e-9 + (list_inner_product(p.qe::DOUBLE[], c.ec::DOUBLE[]) / (sqrt(list_inner_product(p.qe::DOUBLE[], p.qe::DOUBLE[])) * sqrt(list_inner_product(c.ec::DOUBLE[], c.ec::DOUBLE[])))), 4) DESC,
                         c.neighbor_id) AS rank
       FROM probes p JOIN corpus c
         ON p.cell = c.cell AND p.query_id <> c.neighbor_id
@@ -1069,10 +1075,10 @@ _IVF_TRAINED_SQL = f"""
                 FROM tranked WHERE rk <= 2 AND vec_id % 50 = 0)
     SELECT query_id, neighbor_id, rank, cos FROM (
       SELECT p.query_id, c.neighbor_id,
-             round(1e-9 + list_cosine_similarity(p.qe, c.ec), 4) AS cos,
+             round(1e-9 + (list_inner_product(p.qe::DOUBLE[], c.ec::DOUBLE[]) / (sqrt(list_inner_product(p.qe::DOUBLE[], p.qe::DOUBLE[])) * sqrt(list_inner_product(c.ec::DOUBLE[], c.ec::DOUBLE[])))), 4) AS cos,
              row_number() OVER (
                PARTITION BY p.query_id
-               ORDER BY round(1e-9 + list_cosine_similarity(p.qe, c.ec), 4)
+               ORDER BY round(1e-9 + (list_inner_product(p.qe::DOUBLE[], c.ec::DOUBLE[]) / (sqrt(list_inner_product(p.qe::DOUBLE[], p.qe::DOUBLE[])) * sqrt(list_inner_product(c.ec::DOUBLE[], c.ec::DOUBLE[])))), 4)
                         DESC, c.neighbor_id) AS rank
       FROM tprobes p JOIN tcorpus c
         ON p.cell = c.cell AND p.query_id <> c.neighbor_id

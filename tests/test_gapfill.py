@@ -181,3 +181,23 @@ def test_duplicate_timestamp_obs_match_oracle():
     assert len(got) == len(exp)
     assert np.allclose(got["value"].to_numpy(), exp["value"].to_numpy(),
                        atol=1e-12)
+
+
+def test_chunk_size_cannot_change_results(monkeypatch, spark):
+    """CHUNK_DOCS is a malloc-behavior knob only: per-doc computation
+    means ANY chunking yields identical rows (this is what licenses
+    tuning it for the mmap-threshold fix without re-validating
+    semantics)."""
+    import sentinel2_crop_trait_timeseries_spark.operators.gapfill as gf
+
+    seq = generate_sequences(spark, 300, partitions=4)
+    monkeypatch.setattr(gf, "CHUNK_DOCS", 4096)
+    a = (gf.gapfill_tiers(seq, knockout=0.1).toPandas()
+         .sort_values(["tier", "doc_id", "bucket_ts"]).reset_index(drop=True))
+    monkeypatch.setattr(gf, "CHUNK_DOCS", 64)
+    b = (gf.gapfill_tiers(seq, knockout=0.1).toPandas()
+         .sort_values(["tier", "doc_id", "bucket_ts"]).reset_index(drop=True))
+    assert len(a) == len(b)
+    for c in ["sum_value", "mean_value", "min_value", "max_value", "sumsq_value"]:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
+    assert (a["doc_id"].astype(str) == b["doc_id"].astype(str)).all()
