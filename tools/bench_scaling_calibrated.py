@@ -19,6 +19,14 @@ ratio over clean pairs; all raw pairs, probes, and the throttled-pair
 ratios are reported alongside so nothing is hidden.
 
 Usage: python tools/bench_scaling_calibrated.py [n_docs] [low] [high] [pairs]
+
+Known limitation of the session-relative peak: if the host spends the
+whole session in a steady lower capacity band but ONE probe catches a
+burst, the >=75%-of-peak rule can classify every steady pair as
+throttled (observed in the 300k-doc 2->8 session: probes ~210 M/s
+throughout, one 346 M/s spike -> 0 "clean" pairs despite raw ratios
+3.49-3.96). All raw pairs are always emitted so the reader can judge;
+the strict rule is reported even when it works against the headline.
 """
 
 from __future__ import annotations
