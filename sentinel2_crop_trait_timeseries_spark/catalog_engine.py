@@ -558,11 +558,13 @@ def fit_sigmoid_events(spark, sf_dir):
     form, so any LM blow-up flips the hash), and (c) rmse_ok — the LM's
     unrounded RMSE must not exceed the closed-form logit fit's RMSE
     (fit_sigmoid_logit, itself fully oracle-checked) by more than
-    10% + 1e-6 — are all deterministic. The logit solution lies inside
-    the LM's 4-parameter family, and the LM only accepts
-    cost-decreasing steps, so it tracks or beats the closed form:
-    measured max ratio 1.0064 at sf0.01 (1 doc of 150 above 1.0), 0.994
-    at sf0.001. tests/test_fit.py pins the LM numerically."""
+    10% + 1e-4 — are all deterministic. The bound is STRUCTURAL, not
+    empirical: the LM initializes FROM the logit solution (fit.py
+    seeds p0 = (L, k, -c/k, b) of the same construction) and only
+    accepts cost-decreasing steps, so final RMSE <= logit RMSE by
+    construction (measured max ratio 0.992 across both test scales);
+    the 10% + 1e-4 slack covers the oracle side's 4-dp rounding of
+    logit_rmse. tests/test_fit.py pins the LM numerically."""
     from sentinel2_crop_trait_timeseries_spark.operators.fit import fit_sigmoid
 
     seq = _events_as_sequences(spark, sf_dir)
@@ -574,7 +576,7 @@ def fit_sigmoid_events(spark, sf_dir):
     rmse_ok = (
         F.col("logit_rmse").isNull()  # flat series: no logit row
         | (F.col("status") == "failed")
-        | (F.col("fit_rmse") <= F.col("logit_rmse") * 1.10 + 1e-6)
+        | (F.col("fit_rmse") <= F.col("logit_rmse") * 1.10 + 1e-4)
     )
     return j.select(
         "doc_id", "n_obs", "status", rmse_ok.cast("int").alias("rmse_ok")

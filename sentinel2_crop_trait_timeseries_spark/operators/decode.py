@@ -140,13 +140,15 @@ def decode_observations_arrow(seq: DataFrame) -> DataFrame:
             # worker-JVM socket instead of one string pair per obs row,
             # and integer instead of object gathers (see gapfill.py)
             src_cat = pd.Categorical(pdf["source"])
+            # factorize: duplicate doc_ids in a batch are legal input
+            did_codes, did_cats = pd.factorize(pdf["doc_id"], sort=False)
             yield pd.DataFrame(
                 {
                     "source": pd.Categorical.from_codes(
                         src_cat.codes[d], categories=src_cat.categories
                     ),
                     "doc_id": pd.Categorical.from_codes(
-                        d, categories=pdf["doc_id"]
+                        did_codes[d], categories=did_cats
                     ),
                     "ts": ((EPOCH_UNIX + hours * 3600) * 1_000_000).astype(
                         "datetime64[us]"

@@ -53,8 +53,46 @@ def lm_fit_sigmoid_batched(x: np.ndarray, y: np.ndarray, mask: np.ndarray,
     cnt_safe = np.maximum(cnt, 1.0)
     ymin = np.where(mask, y, np.inf).min(axis=1)
     ymax = np.where(mask, y, -np.inf).max(axis=1)
+    # Initialize from the CLOSED-FORM LOGIT FIT where it exists (the
+    # fit_sigmoid_logit construction: fixed asymptotes b=ymin-d,
+    # L=range+2d with d=5% margin, z=logit((y-b)/L) regressed on x).
+    # Starting AT the logit solution plus accept-only-improving steps
+    # makes "LM RMSE <= logit RMSE" a structural guarantee — the
+    # invariant the fit_sigmoid_events oracle pins — instead of an
+    # empirical observation about a heuristic start. Degenerate docs
+    # (flat range, ~zero slope) keep the range/slope heuristic.
+    rng_y = ymax - ymin
+    has_range = rng_y > 0
+    d0 = 0.05 * rng_y + 1e-9
+    b_lg = ymin - d0
+    l_lg = rng_y + 2 * d0
+    with np.errstate(all="ignore"):
+        frac = (y - b_lg[:, None]) / l_lg[:, None]
+        z = np.log(frac / (1.0 - frac))
+        z = np.where(mask & has_range[:, None], z, 0.0)
+        xm = np.where(mask, x, 0.0)
+        sx = xm.sum(axis=1)
+        sz = z.sum(axis=1)
+        sxx = (xm * xm).sum(axis=1)
+        sxz = (xm * z).sum(axis=1)
+        den = sxx - sx * sx / cnt_safe
+        k_lg = np.where(np.abs(den) > 1e-12, (sxz - sx * sz / cnt_safe)
+                        / np.where(np.abs(den) > 1e-12, den, 1.0), 0.0)
+        c_lg = (sz - k_lg * sx) / cnt_safe
+        x0_lg = np.where(np.abs(k_lg) > 1e-9, -c_lg
+                         / np.where(np.abs(k_lg) > 1e-9, k_lg, 1.0), 0.5)
+    seed_ok = (
+        has_range & (cnt >= MIN_OBS)
+        & np.isfinite(k_lg) & np.isfinite(c_lg) & np.isfinite(x0_lg)
+        & (np.abs(k_lg) > 1e-9)
+    )
     p = np.stack(
-        [np.maximum(ymax - ymin, 1e-3), np.full(n, 10.0), np.full(n, 0.5), ymin],
+        [
+            np.where(seed_ok, l_lg, np.maximum(rng_y, 1e-3)),
+            np.where(seed_ok, k_lg, 10.0),
+            np.where(seed_ok, x0_lg, 0.5),
+            np.where(seed_ok, b_lg, ymin),
+        ],
         axis=1,
     )
     lam = np.full(n, 1e-3)

@@ -201,6 +201,31 @@ def _segment_cum_blocked(n_segs, seg_ord, pos, r, right_pos, r_right,
     segment).
     """
     bw = max(64, int(mem_cap // (16 * max(n_segs, 1))))
+    # bound the SEGMENT dimension too: when bw bottoms out at its 64
+    # floor (huge n_segs, modest widths), Mb = n_segs x 65 doubles can
+    # itself exceed the cap. Segments are independent and seg_ord is
+    # nondecreasing along the spine, so split into stripes (a
+    # searchsorted slice each) and run the same scan per stripe —
+    # still bit-exact (any blocking is). Striping engages ONLY while
+    # the bw floor is active (bw > 64 already means Mb ~ mem_cap/2 by
+    # construction); per-stripe bw then recomputes above the floor, so
+    # the recursion terminates at depth 1.
+    stripe = max(1, int(mem_cap // (16 * 65)))
+    if bw == 64 and n_segs > stripe:
+        cum = np.empty(len(pos), dtype=np.float64)
+        in_min_s = np.empty(n_segs, dtype=np.float64)
+        in_max_s = np.empty(n_segs, dtype=np.float64)
+        for s0 in range(0, n_segs, stripe):
+            s1 = min(n_segs, s0 + stripe)
+            e0, e1 = np.searchsorted(seg_ord, (s0, s1))
+            c, mn, mx = _segment_cum_blocked(
+                s1 - s0, seg_ord[e0:e1] - s0, pos[e0:e1], r[e0:e1],
+                right_pos[s0:s1], r_right[s0:s1], mem_cap,
+            )
+            cum[e0:e1] = c
+            in_min_s[s0:s1] = mn
+            in_max_s[s0:s1] = mx
+        return cum, in_min_s, in_max_s
     width = int(right_pos.max()) + 1
     n_blocks = (width + bw - 1) // bw
     cum = np.empty(len(pos), dtype=np.float64)
@@ -394,6 +419,10 @@ def gapfill_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
     # per-row object gathers become integer gathers. Spark reads
     # dictionary arrays natively as string columns.
     src_cat = pd.Categorical(pdf["source"])
+    # factorize (not from_codes on the raw column): doc_id values may
+    # legitimately repeat within a batch (e.g. appended tables), and
+    # Categorical categories must be unique
+    did_codes, did_cats = pd.factorize(pdf["doc_id"], sort=False)
     # copy=False: pandas 2.x keeps each ndarray as its own block —
     # the default consolidates same-dtype columns into one 2D block,
     # a full re-copy of the multi-hundred-MB batch output
@@ -403,7 +432,7 @@ def gapfill_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
                 src_cat.codes[out_doc], categories=src_cat.categories
             ),
             "doc_id": pd.Categorical.from_codes(
-                out_doc, categories=pdf["doc_id"]
+                did_codes[out_doc], categories=did_cats
             ),
             "ts": ((EPOCH_UNIX + out_hr * HOUR) * 1_000_000).astype(
                 "datetime64[us]"
@@ -446,7 +475,7 @@ _DAY = 86400
 _WEEK_SHIFT = 3 * _DAY  # epoch day 0 is a Thursday; Monday alignment
 
 
-def _tier_rollup_np(doc, sec, val, n_docs):
+def _tier_rollup_np(doc, sec, val):
     """Per-(doc, bucket) aggregates for hourly/daily/weekly, vectorized.
 
     Equivalent to cascade(rollup_tier(...)) on the dense rows, but
@@ -521,7 +550,7 @@ def gapfill_tiers_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
     sec = EPOCH_UNIX + out_hr * HOUR
     doc_src = pdf["source"].to_numpy()
     doc_did = pdf["doc_id"].to_numpy()
-    tiers = _tier_rollup_np(out_doc, sec, val, len(pdf))
+    tiers = _tier_rollup_np(out_doc, sec, val)
     # assemble ONE frame (a 3-frame pd.concat re-copies every column)
     parts = list(tiers.items())
     di = np.concatenate([p[1][0] for p in parts])
@@ -539,6 +568,7 @@ def gapfill_tiers_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
     # per-doc-constant; int codes over the socket instead of ~35 B/row
     # of repeated strings, and integer gathers instead of object ones
     src_cat = pd.Categorical(pd.Series(doc_src))
+    did_codes, did_cats = pd.factorize(pd.Series(doc_did), sort=False)
     return pd.DataFrame(
         {
             "tier": pd.Categorical.from_codes(
@@ -547,7 +577,9 @@ def gapfill_tiers_batch(pdf: pd.DataFrame, curve: str = "asymptotic",
             "source": pd.Categorical.from_codes(
                 src_cat.codes[di], categories=src_cat.categories
             ),
-            "doc_id": pd.Categorical.from_codes(di, categories=doc_did),
+            "doc_id": pd.Categorical.from_codes(
+                did_codes[di], categories=did_cats
+            ),
             "bucket_ts": (bucket * 1_000_000).astype("datetime64[us]"),
             "n": n,
             "sum_value": s,

@@ -201,3 +201,23 @@ def test_chunk_size_cannot_change_results(monkeypatch, spark):
     for c in ["sum_value", "mean_value", "min_value", "max_value", "sumsq_value"]:
         assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
     assert (a["doc_id"].astype(str) == b["doc_id"].astype(str)).all()
+
+
+def test_blocked_path_stripes_many_segments(monkeypatch):
+    """The bounded-memory path must bound BOTH matrix dimensions: a
+    chunk with many segments but modest widths stripes over segments
+    (bw floor case) and stays bit-identical."""
+    import sentinel2_crop_trait_timeseries_spark.operators.gapfill as gf
+
+    n_segs, per = 5000, 7
+    seg_ord = np.repeat(np.arange(n_segs), per)
+    pos = np.tile(np.arange(per), n_segs)
+    rng = np.random.default_rng(7)
+    r = rng.random(n_segs * per)
+    right_pos = np.full(n_segs, per)
+    r_right = rng.random(n_segs)
+    a = gf._segment_cum_blocked(n_segs, seg_ord, pos, r, right_pos,
+                                r_right, mem_cap=1 << 30)
+    b = gf._segment_cum_blocked(n_segs, seg_ord, pos, r, right_pos,
+                                r_right, mem_cap=1 << 14)
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))

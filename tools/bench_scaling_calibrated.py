@@ -35,6 +35,7 @@ import json
 import multiprocessing as mp
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -94,40 +95,53 @@ def run_once(cores: int) -> dict:
     hypervisor DURING the run — this catches mid-run throttles the
     bracketing probes cannot see (they only sample between runs).
 
-    CPU AFFINITY: the process (and therefore the spawned JVM + Python
-    workers, which inherit it) is pinned to `cores` CPUs for the run.
-    Without this, local[8] is NOT an 8-core proxy — JVM helper threads
-    (GC, Arrow IPC readers, ColumnarToRow) ran beside the 8 task slots
-    and the "8-core" level consumed ~12 physical cores (measured
-    /proc/stat user=11.9 on a local[8] run), silently deflating the
-    8->32 ratio. Pinning makes N mean N."""
-    os.sched_setaffinity(0, set(range(cores)))
-    try:
-        spark = get_spark(
-            f"s2tt_cal_{cores}", master=f"local[{cores}]",
-            shuffle_partitions=cores,
-        )
-        seq = spark.read.parquet(SEQ_PATH)
-        warm = seq.limit(cores * 4).repartition(cores)
-        gapfill_tiers(warm, knockout=0.1).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        b0, s0 = _read_stat()
-        t0 = time.perf_counter()
-        gapfill_tiers(seq, knockout=0.1).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        sec = time.perf_counter() - t0
-        b1, s1 = _read_stat()
-        spark.stop()
-    finally:
-        os.sched_setaffinity(0, set(range(os.cpu_count())))
-    hz = os.sysconf("SC_CLK_TCK")
-    return {
-        "sec": sec,
-        "busy_cores": (b1 - b0) / hz / sec,
-        "steal_cores": (s1 - s0) / hz / sec,
-    }
+    CPU AFFINITY: each run executes in a SUBPROCESS that pins
+    sched_setaffinity(cores) BEFORE creating its SparkSession, so the
+    freshly spawned JVM and its forked Python workers inherit the mask.
+    (Pinning in-process after a prior session existed is a no-op: the
+    py4j gateway JVM persists across spark.stop() and keeps its original
+    all-CPU affinity — caught by this harness's own busy_cores column
+    reading ~12 on a "local[8]" run.) Without pinning, local[8] is NOT
+    an 8-core proxy: JVM helper threads (GC, Arrow IPC, ColumnarToRow)
+    run beside the 8 task slots. busy_cores in the output verifies the
+    mask held for each run."""
+    script = (
+        "import os, sys, json, time\n"
+        f"os.sched_setaffinity(0, set(range({cores})))\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from sentinel2_crop_trait_timeseries_spark.session import get_spark\n"
+        "from sentinel2_crop_trait_timeseries_spark.operators.gapfill import gapfill_tiers\n"
+        "def _stat():\n"
+        "    p = open('/proc/stat').readline().split()\n"
+        "    u, n, s, _i, _io, irq, sirq, st = map(int, p[1:9])\n"
+        "    return u + n + s + irq + sirq, st\n"
+        f"spark = get_spark('s2tt_cal_{cores}', master='local[{cores}]',"
+        f" shuffle_partitions={cores})\n"
+        f"seq = spark.read.parquet({SEQ_PATH!r})\n"
+        f"warm = seq.limit({cores * 4}).repartition({cores})\n"
+        "gapfill_tiers(warm, knockout=0.1).write.format('noop')"
+        ".mode('overwrite').save()\n"
+        "b0, s0 = _stat()\n"
+        "t0 = time.perf_counter()\n"
+        "gapfill_tiers(seq, knockout=0.1).write.format('noop')"
+        ".mode('overwrite').save()\n"
+        "sec = time.perf_counter() - t0\n"
+        "b1, s1 = _stat()\n"
+        "spark.stop()\n"
+        "hz = os.sysconf('SC_CLK_TCK')\n"
+        "print('RUNJSON ' + json.dumps({'sec': sec,"
+        " 'busy_cores': (b1 - b0) / hz / sec,"
+        " 'steal_cores': (s1 - s0) / hz / sec}))\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True
+    )
+    for line in res.stdout.splitlines():
+        if line.startswith("RUNJSON "):
+            return json.loads(line[len("RUNJSON "):])
+    raise RuntimeError(
+        f"run_once({cores}) subprocess failed: {res.stderr[-2000:]}"
+    )
 
 
 def main() -> None:

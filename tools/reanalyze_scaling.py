@@ -31,18 +31,28 @@ def rescore(paths: list[str]) -> dict:
         ideal = d.get("ideal_speedup", 4.0)
         for p in pairs:
             probes_ok = min(p["probes_M_per_s"]) >= 0.75 * peak
+            # steal criterion applies when the session recorded it
+            steal_ok = (
+                max(p.get("low_steal_cores", 0.0),
+                    p.get("high_steal_cores", 0.0)) < 1.0
+            )
             rows.append(
                 {
                     "file": path.split("/")[-1],
                     "n_docs": d.get("n_docs"),
+                    "ideal": ideal,
                     "ratio": p["ratio"],
+                    "eff": round(p["ratio"] / ideal, 3),
                     "probes_ok": probes_ok,
                     "superideal": p["ratio"] > ideal * 1.02,
-                    "clean": probes_ok and p["ratio"] <= ideal * 1.02,
+                    "clean": probes_ok and steal_ok
+                    and p["ratio"] <= ideal * 1.02,
                 }
             )
-    clean = [r["ratio"] for r in rows if r["clean"]]
-    old_clean = [r["ratio"] for r in rows if r["probes_ok"]]
+    # efficiencies are pooled per-pair (ratio/its own ideal), so files
+    # with different high/low factors can be mixed
+    clean = [r["eff"] for r in rows if r["clean"]]
+    old_clean = [r["eff"] for r in rows if r["probes_ok"]]
     return {
         "n_pairs": len(rows),
         "n_clean_old_rule": len(old_clean),
@@ -50,17 +60,11 @@ def rescore(paths: list[str]) -> dict:
         "n_superideal_excluded": sum(
             1 for r in rows if r["probes_ok"] and r["superideal"]
         ),
-        "median_ratio_old_rule": (
+        "efficiency_old_rule": (
             round(statistics.median(old_clean), 3) if old_clean else None
         ),
-        "median_ratio_corrected": (
-            round(statistics.median(clean), 3) if clean else None
-        ),
-        "efficiency_old_rule": (
-            round(statistics.median(old_clean) / 4.0, 3) if old_clean else None
-        ),
         "efficiency_corrected": (
-            round(statistics.median(clean) / 4.0, 3) if clean else None
+            round(statistics.median(clean), 3) if clean else None
         ),
         "pairs": rows,
     }
