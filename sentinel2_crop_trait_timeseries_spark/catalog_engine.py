@@ -564,11 +564,20 @@ def fit_sigmoid_events(spark, sf_dir):
     accepts cost-decreasing steps, so final RMSE <= logit RMSE by
     construction (measured max ratio 0.992 across both test scales);
     the 10% + 1e-4 slack covers the oracle side's 4-dp rounding of
-    logit_rmse. tests/test_fit.py pins the LM numerically."""
+    logit_rmse. The bound is asserted ONLY where the logit seed was
+    actually used (seed_used flag from fit.py): a doc can clear
+    fit_sigmoid_logit's filter (n>=5, vmax>vmin) yet have its seed
+    rejected by the LM (e.g. |k_logit| <= 1e-9 on a flat-trend noisy
+    series) — there the LM starts from the range/slope heuristic and
+    carries no structural relation to the logit RMSE, so such docs
+    take the escape instead of a data-scale-dependent assertion.
+    tests/test_fit.py pins the LM numerically."""
     from sentinel2_crop_trait_timeseries_spark.operators.fit import fit_sigmoid
 
     seq = _events_as_sequences(spark, sf_dir)
-    lm = fit_sigmoid(seq).select("doc_id", "n_obs", "status", "fit_rmse")
+    lm = fit_sigmoid(seq).select(
+        "doc_id", "n_obs", "status", "fit_rmse", "seed_used"
+    )
     logit = fit_sigmoid_logit(spark, sf_dir).select(
         "doc_id", F.col("fit_rmse").alias("logit_rmse")
     )
@@ -576,6 +585,7 @@ def fit_sigmoid_events(spark, sf_dir):
     rmse_ok = (
         F.col("logit_rmse").isNull()  # flat series: no logit row
         | (F.col("status") == "failed")
+        | (F.col("seed_used") == 0)  # heuristic start: bound not structural
         | (F.col("fit_rmse") <= F.col("logit_rmse") * 1.10 + 1e-4)
     )
     return j.select(

@@ -31,7 +31,7 @@ from .gapfill import decode_batch
 
 FIT_SCHEMA = (
     "source string, doc_id string, L double, k double, x0 double, b double, "
-    "fit_rmse double, n_obs int, n_iter int, status string"
+    "fit_rmse double, n_obs int, n_iter int, status string, seed_used int"
 )
 
 MIN_OBS = 5  # reference skips pixels with too few points
@@ -46,7 +46,12 @@ def lm_fit_sigmoid_batched(x: np.ndarray, y: np.ndarray, mask: np.ndarray,
     """Levenberg-Marquardt over a padded (n_docs, m) batch.
 
     x, y: padded observations; mask: True where real. Returns
-    (params (n_docs, 4), rmse (n_docs,), n_iter (n_docs,), ok (n_docs,)).
+    (params (n_docs, 4), rmse (n_docs,), n_iter (n_docs,), ok (n_docs,),
+    seed_ok (n_docs,)) — seed_ok marks docs whose LM start WAS the
+    closed-form logit solution; only for those is "LM RMSE <= logit
+    RMSE" structural (accept-only-improving steps from that start).
+    Docs seeded heuristically (flat range, ~zero logit slope) carry
+    no such bound and consumers must not assert it.
     """
     n, m = x.shape
     cnt = mask.sum(axis=1).astype(np.float64)
@@ -145,14 +150,15 @@ def lm_fit_sigmoid_batched(x: np.ndarray, y: np.ndarray, mask: np.ndarray,
         active = active & ~converged & ~stuck
     rmse = np.sqrt(c / cnt_safe)
     ok = (cnt >= MIN_OBS) & np.isfinite(p).all(axis=1) & np.isfinite(rmse)
-    return p, rmse, n_iter, ok
+    return p, rmse, n_iter, ok, seed_ok
 
 
 def fit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     if len(pdf) == 0:
         return pd.DataFrame(
             {c: [] for c in ["source", "doc_id", "L", "k", "x0", "b",
-                             "fit_rmse", "n_obs", "n_iter", "status"]}
+                             "fit_rmse", "n_obs", "n_iter", "status",
+                             "seed_used"]}
         )
     doc_of_obs, hours, vals, n_obs = decode_batch(pdf)
     n, m = len(pdf), int(n_obs.max()) if len(n_obs) else 0
@@ -172,7 +178,7 @@ def fit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     span = np.maximum(h_max - h_min, 1.0)
     x = np.where(mask, (x - h_min[:, None]) / span[:, None], 0.0)
 
-    p, rmse, n_iter, ok = lm_fit_sigmoid_batched(x, y, mask)
+    p, rmse, n_iter, ok, seed_ok = lm_fit_sigmoid_batched(x, y, mask)
     return pd.DataFrame(
         {
             "source": pdf["source"].to_numpy(),
@@ -185,6 +191,7 @@ def fit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "n_obs": n_obs.astype(np.int32),
             "n_iter": n_iter.astype(np.int32),
             "status": np.where(ok, "done", "failed"),
+            "seed_used": seed_ok.astype(np.int32),
         }
     )
 

@@ -29,8 +29,9 @@ def test_lm_recovers_known_params_exactly():
     L, k, x0, b = true.T
     y = L[:, None] / (1 + np.exp(-k[:, None] * (x - x0[:, None]))) + b[:, None]
     mask = np.ones((n, m), dtype=bool)
-    p, rmse, n_iter, ok = lm_fit_sigmoid_batched(x, y, mask)
+    p, rmse, n_iter, ok, seed_ok = lm_fit_sigmoid_batched(x, y, mask)
     assert ok.all()
+    assert seed_ok.all()  # clean sigmoids: every doc starts at the logit fit
     assert (rmse < 1e-4).all()
     np.testing.assert_allclose(p, true, rtol=1e-2, atol=2e-2)
 
@@ -64,9 +65,12 @@ def test_noisy_fit_and_failure_ledger():
     assert res.loc["good1", "status"] == "done"
     assert res.loc["good1", "fit_rmse"] < 0.1
     assert abs(res.loc["good1", "L"] - 6.0) < 0.5
+    assert res.loc["good1", "seed_used"] == 1  # logit seed accepted
     assert res.loc["short", "status"] == "failed"  # < MIN_OBS
     assert res.loc["flat", "status"] == "done"  # degenerate but finite
     assert res.loc["flat", "fit_rmse"] < 1e-6
+    assert res.loc["flat", "seed_used"] == 0  # heuristic start: no
+    # structural LM<=logit bound applies (fit_sigmoid_events escape)
 
 
 def test_spark_fit_partition_invariant(spark):
