@@ -361,6 +361,24 @@ def _km_sig_sql(lo: int) -> str:
     )
 
 
+def _cap_buckets(bands: DataFrame, keys: list, cap: int) -> DataFrame:
+    """Skew guard for LSH banding: keep only the `cap` lowest doc_ids
+    of each bucket as pair REPRESENTATIVES (left join side). A corpus
+    with one large near-duplicate cluster concentrates its members in
+    a single (band, sig) bucket, making the self-join quadratic in the
+    cluster size; capping the left side bounds each bucket at
+    cap * (n-1) candidate pairs (linear) while every member still
+    pairs with at least one representative — so connected-component
+    dedup still groups the whole clone cluster. One keyed window, no
+    extra shuffle beyond the banding join's own partitioning."""
+    w = Window.partitionBy(*keys).orderBy("doc_id")
+    return (
+        bands.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
 @_q(
     "dedup_minhash_lsh",
     f"""
@@ -397,8 +415,23 @@ def dedup_minhash_lsh(spark, sf_dir):
     rows — the r2 form exploded each word 8x and shuffled twice more
     (groupBy(doc, i), then groupBy(doc, band) with a collect_list);
     same output rows, 3 shuffles and an 8x row explosion removed
-    (the simhash bit-vote trick applied to minhash)."""
-    d = _t(spark, sf_dir, "documents")
+    (the simhash bit-vote trick applied to minhash).
+
+    SKEW NOTE: a large near-duplicate cluster lands its whole
+    membership in one (band, sig) bucket, making the self-join
+    quadratic in the cluster size (n^2 pairs from an n-clone cluster).
+    The contract query keeps exact semantics (cap=None — the fixtures
+    carry no such cluster); production runs on clone-heavy corpora
+    should pass bucket_cap to _minhash_lsh_pairs, which caps each
+    bucket at cap*(n-1) pairs via representatives while keeping every
+    member connected (tests/test_lsh_skew.py proves the bound on a
+    1k-clone fixture)."""
+    return _minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_lsh_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) candidate pairs; bucket_cap caps
+    each (band, sig) bucket's left join side (see _cap_buckets)."""
     dw = _words(d, distinct=True)
     mins = dw.groupBy("doc_id").agg(
         *[
@@ -425,7 +458,12 @@ def dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a, b = bands.alias("a"), bands.alias("b")
+    left = (
+        _cap_buckets(bands, ["band", "sig"], bucket_cap)
+        if bucket_cap is not None
+        else bands
+    )
+    a, b = left.alias("a"), bands.alias("b")
     return (
         a.join(
             b,
@@ -470,8 +508,18 @@ def dedup_simhash(spark, sf_dir):
     an equi-join on (chunk_idx, chunk_value) finds all candidates (the
     same plan shape as MinHash-LSH banding; no all-pairs/BNLJ join,
     asserted in tests/test_plans.py), then the exact Hamming filter
-    runs only on candidates."""
-    d = _t(spark, sf_dir, "documents")
+    runs only on candidates.
+
+    SKEW NOTE: same quadratic-bucket hazard as dedup_minhash_lsh — an
+    n-clone cluster shares all chunk-pair keys. The contract query is
+    exact (cap=None); clone-heavy corpora should pass bucket_cap to
+    _simhash_pairs (representative capping, tests/test_lsh_skew.py)."""
+    return _simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs at Hamming <= 2; bucket_cap caps
+    each (pi, c1, c2) banding bucket's left join side."""
     dw = _words(d, distinct=True)
     # one aggregate column per bit instead of exploding 32 rows per word:
     # the (doc, word) stream shuffles ONCE at its natural size and the 32
@@ -520,7 +568,12 @@ def dedup_simhash(spark, sf_dir):
         F.col("p.pi").alias("pi"), F.col("p.c1").alias("c1"),
         F.col("p.c2").alias("c2"),
     )
-    a = chunks.select(
+    left = (
+        _cap_buckets(chunks, ["pi", "c1", "c2"], bucket_cap)
+        if bucket_cap is not None
+        else chunks
+    )
+    a = left.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
         "pi", "c1", "c2",
     )

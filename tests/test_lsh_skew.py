@@ -1,0 +1,63 @@
+"""LSH banding skew guard: an n-clone cluster concentrates in one
+bucket and makes the band self-join quadratic (n^2 pairs). The
+bucket_cap representative capping must bound candidates linearly
+while keeping every clone connected to a representative — and must be
+a no-op when the cap exceeds every bucket (exact-semantics check)."""
+
+from pyspark.sql import functions as F
+
+from sentinel2_crop_trait_timeseries_spark.catalog_docs import (
+    _minhash_lsh_pairs,
+    _simhash_pairs,
+)
+
+CLONES = 1000
+CAP = 4
+
+
+def _fixture(spark):
+    clone_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, clone_text) for i in range(CLONES)] + [
+        (CLONES + i, f"unique document number {i} talks about topic_{i} "
+                     f"and mentions entity_{i * 7} plus filler_{i * 13}")
+        for i in range(50)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_cap_bounds_pairs_and_keeps_connectivity(spark):
+    d = _fixture(spark)
+    capped = _minhash_lsh_pairs(d, bucket_cap=CAP).cache()
+    n_pairs = capped.count()
+    # uncapped the clone bucket alone yields C(1000,2) ~ 500k pairs;
+    # capped: <= CAP * (n-1) per band, band dupes merged by the groupBy
+    assert n_pairs <= CAP * (CLONES - 1) + 100
+    # every clone still reachable from a representative (star pairs)
+    touched = (
+        capped.select(F.col("doc_a").alias("d")).union(
+            capped.select(F.col("doc_b").alias("d"))
+        ).filter(F.col("d") < CLONES).distinct().count()
+    )
+    assert touched == CLONES
+    capped.unpersist()
+
+
+def test_minhash_cap_is_noop_when_buckets_fit(spark):
+    d = _fixture(spark).filter(F.col("doc_id") % 97 < 5)  # small corpus
+    exact = {tuple(r) for r in _minhash_lsh_pairs(d).collect()}
+    wide = {tuple(r) for r in _minhash_lsh_pairs(d, bucket_cap=10**6).collect()}
+    assert exact == wide
+
+
+def test_simhash_cap_bounds_pairs_and_keeps_connectivity(spark):
+    d = _fixture(spark)
+    capped = _simhash_pairs(d, bucket_cap=CAP).cache()
+    n_pairs = capped.count()
+    assert n_pairs <= CAP * (CLONES - 1) + 100
+    touched = (
+        capped.select(F.col("doc_a").alias("d")).union(
+            capped.select(F.col("doc_b").alias("d"))
+        ).filter(F.col("d") < CLONES).distinct().count()
+    )
+    assert touched == CLONES
+    capped.unpersist()
