@@ -18,68 +18,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES  # noqa: E402
 
-# Contract ordering. The driver's CORRECTNESS artifact records queries in
-# dict order (r2 showed a 50-entry window), so the custom engine-path
-# proofs (EnKF, token/Gorilla round-trips, streaming, salted rollup,
-# multimodal) are listed FIRST, followed by the flagship gap-fill family
-# and the LLM-pipeline operators. _TAIL holds relational variants whose
-# operator families are already covered by an earlier query (e.g.
-# gapfill_linear ⊂ the dose-response trio, ann_lsh_bucketed superseded by
-# ann_multiprobe); they stay registered and locally oracle-checked via
-# tools/check_contract.py, just outside any driver cap.
+# Contract ordering. The driver's CORRECTNESS artifact records the first
+# ~50 queries in dict order (the "window"). More than 50 are registered,
+# so _HEAD/_TAIL ROTATE each round: every _TAIL entry of round N moves
+# into _HEAD for round N+1 (and a same-sized set of just-driver-verified
+# stable queries rotates out), so the union of two consecutive driver
+# artifacts covers every registered query. _TAIL queries stay registered
+# and locally oracle-checked via tools/check_contract.py.
+#
+# Round-4 _HEAD = the 13 queries parked in r3's _TAIL (never yet
+# driver-verified) + everything changed or added this round (fixed-point
+# k-means pair, seed-escape fit pair, capped dedup pair, the new
+# streaming daily cascade) + engine-path proofs and LLM-pipeline
+# operators. Rotated out to _TAIL: 14 relational queries that are
+# driver-green in CORRECTNESS_r03.json and unchanged since.
+_WINDOW = 50
 _HEAD = [
-    "gorilla_roundtrip",
-    "token_roundtrip",
-    "enkf_assimilate_events",
-    "fit_sigmoid_logit",
-    "fit_sigmoid_events",
-    "streaming_rollup_hourly",
-    "streaming_sessionize",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "rollup_hourly_salted",
-    "gapfill_dose_response",
-    "gapfill_wang_engels",
-    "gapfill_asymptotic_daily",
-    "lut_inversion_topk",
-    "rollup_hourly",
-    "rollup_daily_cascade",
-    "continuous_agg_daily",
-    "rollup_grouping_sets",
-    "error_stats_by_type",
-    "sessionize",
-    "asof_join_signup",
-    "tolerance_join",
-    "daily_spine_zerofill",
-    "lag_diff_monotone",
-    "outlier_filter",
-    "knockout_mask",
-    "scalar_surface_outer",
-    "sample_fraction_bounds",
-    "approx_sketch_bounds",
-    "spatial_snap_nn",
-    "string_map_surface",
-    "text_token_counts",
-    "text_quality_score",
-    "lang_id_wordprofile",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "embedding_label_stats",
-    "ann_topk_bruteforce",
-    "ann_multiprobe",
-    "ann_ivf",
-    "ann_recall",
-    "json_props",
-    "pricing_summary",
-    "ivf_train_kmeans",
-    "ann_ivf_trained",
-    "kernel_smooth_events",
-]
-_TAIL = [
+    # never driver-verified before (r3 _TAIL) — must land in-window
     "revenue_by_nation",
     "brand_part_stats",
     "customers_no_orders",
@@ -93,13 +48,84 @@ _TAIL = [
     "big_spender_segments",
     "part_name_split",
     "orders_date_window",
+    # new/changed in round 4
+    "streaming_rollup_daily",
+    "ivf_train_kmeans",
+    "ann_ivf_trained",
+    "ann_recall",
+    "fit_sigmoid_logit",
+    "fit_sigmoid_events",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # engine-path proofs + flagship family
+    "gorilla_roundtrip",
+    "token_roundtrip",
+    "enkf_assimilate_events",
+    "streaming_rollup_hourly",
+    "streaming_sessionize",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "rollup_hourly_salted",
+    "gapfill_dose_response",
+    "gapfill_wang_engels",
+    "gapfill_asymptotic_daily",
+    "lut_inversion_topk",
+    "kernel_smooth_events",
+    # LLM-pipeline operators
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "embedding_label_stats",
+    "ann_topk_bruteforce",
+    "ann_multiprobe",
+    "ann_ivf",
+    "text_token_counts",
+    "text_quality_score",
+    "lang_id_wordprofile",
+    "doc_fingerprint",
+    # relational representatives
+    "spatial_snap_nn",
+    "sessionize",
+    "asof_join_signup",
+    "rollup_hourly",
+    "pricing_summary",
 ]
+_TAIL = [
+    # all driver-green in CORRECTNESS_r03.json, unchanged since;
+    # rotate back into _HEAD next round
+    "rollup_daily_cascade",
+    "continuous_agg_daily",
+    "rollup_grouping_sets",
+    "error_stats_by_type",
+    "tolerance_join",
+    "daily_spine_zerofill",
+    "lag_diff_monotone",
+    "outlier_filter",
+    "knockout_mask",
+    "scalar_surface_outer",
+    "sample_fraction_bounds",
+    "approx_sketch_bounds",
+    "string_map_surface",
+    "json_props",
+]
+
+assert len(_HEAD) == _WINDOW, (
+    f"_HEAD must fill the driver window exactly ({len(_HEAD)} != {_WINDOW}); "
+    "rotate an entry to _TAIL instead of overflowing"
+)
 
 
 def _ordered() -> list[str]:
+    """_HEAD, then unknown (brand-new) queries INSIDE the window right
+    after the must-verify block, then _TAIL. Extras displace the last
+    _HEAD entries past the window edge — visible rotation, never a
+    silently-unverified new query (the r3 bug appended extras after all
+    50 _HEAD entries, so new queries always fell outside the window)."""
     known = set(_HEAD) | set(_TAIL)
-    extras = [n for n in QUERIES if n not in known]  # new queries: mid-pack
-    return [n for n in _HEAD if n in QUERIES] + extras + [
+    extras = [n for n in QUERIES if n not in known]
+    head = [n for n in _HEAD if n in QUERIES]
+    cut = min(len(head), 21)  # after the changed-this-round block
+    return head[:cut] + extras + head[cut:] + [
         n for n in _TAIL if n in QUERIES
     ]
 

@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sentinel2_crop_trait_timeseries_spark.catalog import (
+    _SQL_DAY,
     _SQL_HOUR,
     _bucket,
     _epoch,
@@ -124,6 +125,47 @@ def streaming_rollup_hourly(spark, sf_dir):
         "n",
         F.round(F.lit(1e-9) + F.col("sum_value"), 4).alias("sum_value"),
         F.round(F.lit(1e-9) + F.col("mean_value"), 4).alias("mean_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@_q(
+    "streaming_rollup_daily",
+    f"""
+    SELECT event_type,
+           {_SQL_DAY} AS bucket_ts,
+           count(*) AS n,
+           round(1e-9 + sum(value), 4) AS sum_value,
+           round(1e-9 + avg(value), 4) AS mean_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_rollup_daily(spark, sf_dir):
+    """Streaming cascade tier: daily rollup RE-AGGREGATED from the
+    hourly streaming aggregate (foreachBatch algebraic merge — raw
+    rows touch only the hourly streaming state; see
+    run_cascade_stream_once). The oracle is the daily GROUP BY over
+    raw events — identical to the batch rollup_daily_cascade oracle —
+    so a match proves the streaming hourly state plus the cascade
+    merge reproduce the relational daily tier exactly, closing the
+    one §2.9 concept (hierarchical re-aggregation) that had only a
+    batch twin through r3."""
+    from sentinel2_crop_trait_timeseries_spark.streaming.rollup_stream import (
+        run_cascade_stream_once,
+    )
+
+    res = run_cascade_stream_once(spark, sf_dir)
+    return res.select(
+        "event_type",
+        "bucket_ts",
+        "n",
+        F.round(F.lit(1e-9) + F.col("sum_value"), 4).alias("sum_value"),
+        F.round(
+            F.lit(1e-9) + F.col("sum_value") / F.col("n"), 4
+        ).alias("mean_value"),
         "min_value",
         "max_value",
     )

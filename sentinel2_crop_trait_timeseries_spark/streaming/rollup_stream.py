@@ -127,6 +127,67 @@ def run_session_stream_once(
     return spark.table(query_name)
 
 
+def run_cascade_stream_once(
+    spark: SparkSession,
+    sf_dir: str,
+    file_name: str = "events.parquet",
+    keys: list[str] = ("event_type",),
+    query_name: str = "s2tt_stream_daily",
+) -> DataFrame:
+    """Streaming CASCADE tier: the daily rollup fed FROM the hourly
+    streaming aggregate — the streaming twin of the batch cascade
+    (operators/rollup.py): raw rows are touched only by the hourly
+    streaming state; the daily tier re-aggregates the (small) hourly
+    partials inside ``foreachBatch`` with algebraic merges
+    (sum-of-sums, min-of-mins, mean = sum/n at the end), the
+    hierarchical re-aggregation of SURVEY §2.4 now with a streaming
+    twin. foreachBatch sees the complete-mode hourly aggregate each
+    trigger and overwrites the daily table; the last availableNow
+    trigger leaves the final answer. At scale the same shape appends
+    finalized (watermark-expired) hourly windows and MERGEs the daily
+    tier instead of overwriting. The sink is a plain parquet path (no
+    metastore) so repeated runs in any session are idempotent."""
+    import tempfile
+
+    out_path = tempfile.mkdtemp(prefix=f"{query_name}_")
+    schema = spark.read.parquet(f"{sf_dir}/{file_name}").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_name)
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    hourly = streaming_hourly_rollup(stream, keys=list(keys))
+
+    def reagg(batch_df: DataFrame, batch_id: int) -> None:
+        daily = (
+            batch_df.groupBy(
+                *keys, F.window(F.col("win.start"), "1 day").alias("day")
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select(
+                *keys,
+                F.col("day.start").cast("long").alias("bucket_ts"),
+                "n", "sum_value", "min_value", "max_value",
+            )
+        )
+        daily.write.mode("overwrite").parquet(out_path)
+
+    q = (
+        hourly.writeStream.foreachBatch(reagg)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
+
+
 # ---------------------------------------------------------------------
 # Custom stateful operator: running per-key accumulation across
 # micro-batches (applyInPandasWithState)
