@@ -59,6 +59,10 @@ HEADLINE = [
     # k-means IVF codebook training (broadcast-join Lloyd rounds)
     "kernel_smooth_events",
     "ivf_train_kmeans",
+    # round-4 additions: trained-IVF search (checkpointed Lloyd chain —
+    # timing should show ONE k-means execution), streaming daily cascade
+    "ann_ivf_trained",
+    "streaming_rollup_daily",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average
