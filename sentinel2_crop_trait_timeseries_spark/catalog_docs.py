@@ -379,6 +379,20 @@ def _cap_buckets(bands: DataFrame, keys: list, cap: int) -> DataFrame:
     )
 
 
+# one md5 per (salt, word) yields FOUR independent 32-bit minhash
+# values (8-hex slices of the 128-bit digest): 8 minhashes cost 2 md5
+# calls per word instead of 8 — the digest volume dominates this query
+_MH_SALTS = _MINHASH_K // 4
+
+
+def _mh_sql(k: int) -> str:
+    """SQL for minhash k: slice j=k%4 of md5 digest for salt i=k//4."""
+    i, j = divmod(k, 4)
+    return (
+        f"cast('0x' || substr(md5('{i}|' || w), {1 + 8 * j}, 8) as bigint)"
+    )
+
+
 @_q(
     "dedup_minhash_lsh",
     f"""
@@ -386,8 +400,8 @@ def _cap_buckets(bands: DataFrame, keys: list, cap: int) -> DataFrame:
     hashes AS (
       SELECT doc_id,
              {", ".join(
-                 "min(%s) AS m%d" % (_SQL_H.format(x="'%d|' || w" % i), i)
-                 for i in range(_MINHASH_K)
+                 "min(%s) AS m%d" % (_mh_sql(k), k)
+                 for k in range(_MINHASH_K)
              )}
       FROM dw GROUP BY 1
     ),
@@ -404,18 +418,22 @@ def _cap_buckets(bands: DataFrame, keys: list, cap: int) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: unigram set -> 8 minhashes (60-bit keyed
-    hash family) -> 2 bands of 4 -> candidate pairs share a band
-    signature. The band join is an equi-join on (band, sig): at 100 TB
-    this is THE dedup plan — candidates are found by shuffle-join on
-    short signatures, never by all-pairs comparison.
+    """MinHash+LSH near-dup: unigram set -> 8 minhashes (32-bit slices
+    of a salted md5 family) -> 2 bands of 4 -> candidate pairs share a
+    band signature. The band join is an equi-join on (band, sig): at
+    100 TB this is THE dedup plan — candidates are found by
+    shuffle-join on short signatures, never by all-pairs comparison.
 
     Plan shape: all 8 minhashes ride ONE groupBy(doc_id) as parallel
     min() aggregate columns (map-side combinable) over the (doc, word)
     rows — the r2 form exploded each word 8x and shuffled twice more
     (groupBy(doc, i), then groupBy(doc, band) with a collect_list);
     same output rows, 3 shuffles and an 8x row explosion removed
-    (the simhash bit-vote trick applied to minhash).
+    (the simhash bit-vote trick applied to minhash). r4: each md5
+    digest now feeds FOUR independent 32-bit minhash slices, so the 8
+    hash functions cost 2 md5 calls per (doc, word) instead of 8 —
+    digest arithmetic dominated the query (subexpression elimination
+    shares the digest across the 4 slices on both engines).
 
     SKEW NOTE: a large near-duplicate cluster lands its whole
     membership in one (band, sig) bucket, making the self-join
@@ -433,13 +451,18 @@ def _minhash_lsh_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame
     """(doc_a, doc_b, n_shared_bands) candidate pairs; bucket_cap caps
     each (band, sig) bucket's left join side (see _cap_buckets)."""
     dw = _words(d, distinct=True)
+
+    def mh(k: int) -> F.Column:
+        i, j = divmod(k, 4)
+        digest = F.md5(
+            F.concat_ws("|", F.lit(str(i)), F.col("w")).cast("binary")
+        )
+        return F.conv(
+            F.substring(digest, 1 + 8 * j, 8), 16, 10
+        ).cast("long")
+
     mins = dw.groupBy("doc_id").agg(
-        *[
-            F.min(
-                _h(F.concat_ws("|", F.lit(str(i)), F.col("w")))
-            ).alias(f"m{i}")
-            for i in range(_MINHASH_K)
-        ]
+        *[F.min(mh(k)).alias(f"m{k}") for k in range(_MINHASH_K)]
     )
 
     def bsig(lo: int) -> F.Column:
