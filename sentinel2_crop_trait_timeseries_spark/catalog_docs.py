@@ -1345,3 +1345,52 @@ def ann_recall(spark, sf_dir):
         .unionByName(measure("ivf"))
         .unionByName(measure("ivf_trained"))
     )
+
+
+# ---------------------------------------------------------------------
+# Dedup clustering: connected components over the MinHash-LSH pair
+# graph — pairs alone don't dedup a corpus; the transitive closure
+# does (A~B, B~C => {A,B,C} one cluster, keep the canonical min id).
+# Spark side: iterative min-label propagation with per-round
+# localCheckpoint (operators/components.py); oracle: DuckDB recursive
+# CTE computing min-reachable-id, composed from dedup_minhash_lsh's
+# own contract SQL so the edge set is itself hash-verified. Labels
+# are integers — no float convention needed anywhere.
+# ---------------------------------------------------------------------
+
+_DEDUP_COMPONENTS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_REGISTRY["dedup_minhash_lsh"]["sql"]}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.m FROM edges e JOIN reach r ON r.u = e.v
+    )
+    SELECT u AS doc_id, min(m) AS component FROM reach GROUP BY 1
+"""
+
+
+@_q("dedup_components", _DEDUP_COMPONENTS_SQL)
+def dedup_components(spark, sf_dir):
+    """Duplicate CLUSTERS from near-dup PAIRS: every document labeled
+    with the minimum doc_id reachable through the MinHash-LSH pair
+    graph (singletons label themselves). Production dedup keeps
+    doc_id == component as the canonical copy and drops the rest.
+    Iterative min-label propagation, one equi-join + one groupBy per
+    round, fixpoint-terminated, per-round localCheckpoint (lineage
+    stays O(1)); converges in O(graph diameter) rounds — near-dup
+    clusters are near-cliques, so a handful. The DuckDB oracle
+    recomputes the closure as a recursive CTE over the SAME pair SQL.
+    At adversarial diameters swap in large-star/small-star contraction
+    (Kiveris SoCC'14) — same join shapes, see operators/components.py."""
+    from sentinel2_crop_trait_timeseries_spark.operators.components import (
+        connected_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = _minhash_lsh_pairs(d).select("doc_a", "doc_b")
+    return connected_components(d.select("doc_id"), pairs)

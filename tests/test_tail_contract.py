@@ -28,7 +28,7 @@ def oracle_con():
     return con
 
 
-@pytest.mark.parametrize("name", entry_mod._TAIL)
+@pytest.mark.parametrize("name", entry_mod._ordered()[entry_mod._WINDOW:])
 def test_tail_query_matches_oracle(spark, oracle_con, name):
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert name in qs, f"_TAIL entry {name} not registered"
