@@ -60,9 +60,12 @@ HEADLINE = [
     "kernel_smooth_events",
     "ivf_train_kmeans",
     # round-4 additions: trained-IVF search (checkpointed Lloyd chain —
-    # timing should show ONE k-means execution), streaming daily cascade
+    # timing should show ONE k-means execution), streaming daily cascade,
+    # dedup clustering (iterative components), PQ codes + ADC search
     "ann_ivf_trained",
     "streaming_rollup_daily",
+    "dedup_components",
+    "ann_pq",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -119,6 +119,16 @@ def test_ann_ivf_is_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ann_pq_broadcast_equijoins_only(spark):
+    """PQ ANN: codebook/table joins are broadcast hash equi-joins; the
+    corpus is scored from codes and never rides a nested loop."""
+    plan = _executed(spark, "ann_pq")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan  # codebook/codes checkpointed: train once
+
+
 def test_hamming_masks_pure():
     """Probe-mask generator: exact cover of the Hamming ball, no dupes
     (pure python — no Spark session)."""
