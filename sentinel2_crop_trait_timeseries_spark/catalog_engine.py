@@ -172,6 +172,46 @@ def streaming_rollup_daily(spark, sf_dir):
 
 
 @_q(
+    "streaming_rollup_weekly",
+    f"""
+    SELECT event_type,
+           {{week}} AS bucket_ts,
+           count(*) AS n,
+           round(1e-9 + sum(value), 4) AS sum_value,
+           round(1e-9 + avg(value), 4) AS mean_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """.format(week="cast((floor((floor(floor(epoch(ts))/86400)+3)/7)*7-3)"
+                    "*86400 as bigint)"),
+)
+def streaming_rollup_weekly(spark, sf_dir):
+    """Top of the streaming cascade: weekly tier re-aggregated from
+    the streaming DAILY tier (which itself re-aggregates the hourly
+    streaming state) — three-deep hierarchical re-aggregation with
+    raw rows touching only the hourly state, mirroring the batch
+    cascade tier-for-tier. Monday-anchored weeks via the same epoch
+    arithmetic as the batch _SQL_WEEK; oracle is the weekly GROUP BY
+    over raw events."""
+    from sentinel2_crop_trait_timeseries_spark.streaming.rollup_stream import (
+        run_cascade_stream_once,
+    )
+
+    res = run_cascade_stream_once(spark, sf_dir, tier="weekly")
+    return res.select(
+        "event_type",
+        "bucket_ts",
+        "n",
+        F.round(F.lit(1e-9) + F.col("sum_value"), 4).alias("sum_value"),
+        F.round(
+            F.lit(1e-9) + F.col("sum_value") / F.col("n"), 4
+        ).alias("mean_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@_q(
     "streaming_sessionize",
     """
     WITH t AS (

@@ -133,23 +133,30 @@ def run_cascade_stream_once(
     file_name: str = "events.parquet",
     keys: list[str] = ("event_type",),
     query_name: str = "s2tt_stream_daily",
+    tier: str = "daily",
 ) -> DataFrame:
-    """Streaming CASCADE tier: the daily rollup fed FROM the hourly
-    streaming aggregate — the streaming twin of the batch cascade
-    (operators/rollup.py): raw rows are touched only by the hourly
-    streaming state; the daily tier re-aggregates the (small) hourly
-    partials inside ``foreachBatch`` with algebraic merges
+    """Streaming CASCADE tiers: the daily AND weekly rollups fed FROM
+    the hourly streaming aggregate — the streaming twin of the batch
+    cascade (operators/rollup.py): raw rows are touched only by the
+    hourly streaming state; coarser tiers re-aggregate the (small)
+    finer partials inside ``foreachBatch`` with algebraic merges
     (sum-of-sums, min-of-mins, mean = sum/n at the end), the
-    hierarchical re-aggregation of SURVEY §2.4 now with a streaming
-    twin. foreachBatch sees the complete-mode hourly aggregate each
-    trigger and overwrites the daily table; the last availableNow
-    trigger leaves the final answer. At scale the same shape appends
-    finalized (watermark-expired) hourly windows and MERGEs the daily
-    tier instead of overwriting. The sink is a plain parquet path (no
-    metastore) so repeated runs in any session are idempotent."""
+    hierarchical re-aggregation of SURVEY §2.4 now with a full
+    streaming twin (hourly state -> daily -> weekly, each tier built
+    from the one below, exactly like the batch cascade). Weekly
+    buckets use the batch convention (Monday-anchored epoch
+    arithmetic, catalog._SQL_WEEK), not F.window's Thursday-anchored
+    7-day windows. foreachBatch sees the complete-mode hourly
+    aggregate each trigger and overwrites both tier paths; the last
+    availableNow trigger leaves the final answer. At scale the same
+    shape appends finalized (watermark-expired) hourly windows and
+    MERGEs the tiers instead of overwriting. Sinks are plain parquet
+    paths (no metastore) so repeated runs in any session are
+    idempotent. Returns the requested ``tier`` ("daily"/"weekly")."""
     import tempfile
 
-    out_path = tempfile.mkdtemp(prefix=f"{query_name}_")
+    paths = {t: tempfile.mkdtemp(prefix=f"{query_name}_{t}_")
+             for t in ("daily", "weekly")}
     schema = spark.read.parquet(f"{sf_dir}/{file_name}").schema
     stream = (
         spark.readStream.schema(schema)
@@ -176,7 +183,21 @@ def run_cascade_stream_once(
                 "n", "sum_value", "min_value", "max_value",
             )
         )
-        daily.write.mode("overwrite").parquet(out_path)
+        daily.write.mode("overwrite").parquet(paths["daily"])
+        d = spark.read.parquet(paths["daily"])  # weekly re-aggs the tier below
+        week_ts = (
+            (F.floor((F.col("bucket_ts") / 86400 + 3) / 7) * 7 - 3) * 86400
+        ).cast("long")
+        weekly = (
+            d.groupBy(*keys, week_ts.alias("bucket_ts"))
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        weekly.write.mode("overwrite").parquet(paths["weekly"])
 
     q = (
         hourly.writeStream.foreachBatch(reagg)
@@ -185,7 +206,7 @@ def run_cascade_stream_once(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_path)
+    return spark.read.parquet(paths[tier])
 
 
 # ---------------------------------------------------------------------
