@@ -28,6 +28,7 @@ from sentinel2_crop_trait_timeseries_spark.operators.compress import (
 from sentinel2_crop_trait_timeseries_spark.operators.multimodal import (
     attach_payload,
     decode_meta,
+    decode_pixels_fake,
     sample_frames,
 )
 from sentinel2_crop_trait_timeseries_spark.streaming.rollup_stream import (
@@ -305,6 +306,35 @@ def multimodal_frame_sample(spark, sf_dir):
     arithmetic (including the partial last frame) is byte-exact."""
     d = _t(spark, sf_dir, "documents")
     return sample_frames(attach_payload(d))
+
+
+@_q(
+    "multimodal_resize_pixels",
+    """
+    WITH px AS (
+      SELECT doc_id, cast(i // 16 AS int) AS r, cast(i % 16 AS int) AS c,
+             ascii(substr(text, cast(i % length(text) AS int) + 1, 1)) AS b
+      FROM documents,
+           LATERAL (SELECT unnest(range(0, 256)) AS i) t
+    )
+    SELECT doc_id, cast(r // 4 AS int) AS br, cast(c // 4 AS int) AS bc,
+           sum(b) / 16.0 AS px
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_resize_pixels(spark, sf_dir):
+    """Decode -> resize pipeline plumbing with a deterministic fake
+    decode (the brief's prescribed stub strategy: no imaging libs in
+    this container, so the decode is cyclic byte tiling into a 16x16
+    'image', and the resize is exact 4x4 block-mean pooling — sums of
+    integers divided by 16, exact in double). One row per output pixel
+    (doc_id, br, bc, px). The oracle replays the byte arithmetic from
+    the ASCII source text, proving the mapInPandas tensor path
+    (payload byte access, reshape, pooling, 1->16 fan-out) byte-exact;
+    a real libjpeg decode + resampler drops into the same UDF
+    signature (operators/multimodal.py decode_pixels_fake)."""
+    d = _t(spark, sf_dir, "documents")
+    return decode_pixels_fake(attach_payload(d))
 
 
 def _events_as_sequences(spark, sf_dir):

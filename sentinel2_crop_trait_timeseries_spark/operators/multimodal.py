@@ -138,9 +138,77 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload",
     ``doc_id bigint, pixels array<float>, height int, width int`` that
     decodes each payload (PIL/libjpeg), resizes, and emits CHW float32
     — one Arrow batch of decoded tensors per input batch. Not available
-    in this container (no imaging libraries).
+    in this container (no imaging libraries). ``decode_pixels_fake``
+    below exercises the identical plumbing (batch shape, tiling,
+    block-mean resize, output schema) with a deterministic byte-level
+    fake that a SQL oracle can replay.
     """
     raise NotImplementedError(
         "image decode requires an imaging library not present in this "
-        "environment; use decode_meta for byte-level features"
+        "environment; use decode_meta for byte-level features or "
+        "decode_pixels_fake for the oracle-checked plumbing twin"
     )
+
+
+PIXEL_SCHEMA = "doc_id bigint, br int, bc int, px double"
+
+
+def decode_pixels_fake(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload",
+                       size: int = 16, block: int = 4) -> DataFrame:
+    """Deterministic FAKE decode + resize with REAL plumbing: tile each
+    payload's bytes cyclically into a ``size x size`` image, then
+    "resize" by exact block-mean pooling to ``(size/block)^2`` output
+    pixels — one row per output pixel (doc_id, br, bc, px).
+
+    This is the decode -> resize -> feature pipeline shape a real image
+    path needs (mapInPandas batch iteration, payload byte access,
+    vectorized tensor reshape/pool, 1->n fan-out) with arithmetic a SQL
+    oracle can replay byte-for-byte: block means are sums of <=
+    block^2 * 255 integers divided by a power of two, so every output
+    is exact in double and engine-independent. Swap the tiling for a
+    libjpeg decode and the block-mean for a real resampler and the
+    Spark side is unchanged. Empty payloads emit px = 0.0 rows (the
+    failure-ledger convention: no raise inside the batch)."""
+    out = size // block
+    assert block * out == size, "block must divide size"
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            n = len(ids)
+            if n == 0:
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "br": pd.Series([], dtype="int32"),
+                                    "bc": pd.Series([], dtype="int32"),
+                                    "px": pd.Series([], dtype="float64")})
+                continue
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64,
+                               count=n)
+            blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            starts = np.cumsum(lens) - lens
+            safe = np.maximum(lens, 1)
+            idx = np.arange(size * size, dtype=np.int64)
+            # clamp so a zero-length payload (masked below) cannot index
+            # past the blob when it is the last row of the batch
+            gather = np.minimum(
+                starts[:, None] + (idx[None, :] % safe[:, None]),
+                max(len(blob) - 1, 0),
+            )
+            tiled = blob[gather] if len(blob) else np.zeros(
+                (n, size * size), dtype=np.uint8
+            )
+            img = tiled.reshape(n, size, size).astype(np.float64)
+            img[lens == 0] = 0.0
+            pooled = img.reshape(n, out, block, out, block).mean(axis=(2, 4))
+            rr, cc = np.meshgrid(np.arange(out), np.arange(out),
+                                 indexing="ij")
+            yield pd.DataFrame({
+                "doc_id": np.repeat(ids, out * out),
+                "br": np.tile(rr.ravel(), n).astype(np.int32),
+                "bc": np.tile(cc.ravel(), n).astype(np.int32),
+                "px": pooled.reshape(n, -1).ravel(),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(extract, PIXEL_SCHEMA)

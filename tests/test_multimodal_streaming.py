@@ -121,3 +121,25 @@ def test_sample_frames_boundaries(spark):
         got.astype({"frame_idx": "int32", "frame_len": "int32"}),
         want.astype({"frame_idx": "int32", "frame_len": "int32"}),
     )
+
+
+def test_decode_pixels_fake_tiling_and_pooling(spark):
+    """Hand-checked fake decode: constant payload -> every pooled pixel
+    equals the byte value; 2-byte payload tiles alternately so each
+    4x4 block holds 8 of each byte; empty payload -> px 0.0."""
+    from sentinel2_crop_trait_timeseries_spark.operators.multimodal import (
+        decode_pixels_fake,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"A" * 5)), (2, bytearray(b"AB")), (3, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    rows = decode_pixels_fake(df).collect()
+    assert len(rows) == 3 * 16  # 4x4 output pixels per doc
+    px = {(r["doc_id"], r["br"], r["bc"]): r["px"] for r in rows}
+    assert all(px[(1, r, c)] == 65.0 for r in range(4) for c in range(4))
+    # doc 2: row-major tiling of "ABAB..." over 16 cols -> each 4x4
+    # block has 8 A's + 8 B's -> mean (8*65 + 8*66)/16 = 65.5 exactly
+    assert all(px[(2, r, c)] == 65.5 for r in range(4) for c in range(4))
+    assert all(px[(3, r, c)] == 0.0 for r in range(4) for c in range(4))
