@@ -447,9 +447,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     return _minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
-def _minhash_lsh_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
-    """(doc_a, doc_b, n_shared_bands) candidate pairs; bucket_cap caps
-    each (band, sig) bucket's left join side (see _cap_buckets)."""
+def _minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): 2 band signatures per doc from 8 minhashes
+    (four 32-bit slices per salted md5 digest — 2 digests per word)."""
     dw = _words(d, distinct=True)
 
     def mh(k: int) -> F.Column:
@@ -472,7 +472,7 @@ def _minhash_lsh_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame
             ).cast("binary")
         )
 
-    bands = mins.select(
+    return mins.select(
         "doc_id",
         F.explode(
             F.array(
@@ -481,19 +481,34 @@ def _minhash_lsh_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def _minhash_lsh_pairs(d: DataFrame, bucket_cap: int | None = None,
+                       grouped: bool = True) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) candidate pairs; bucket_cap caps
+    each (band, sig) bucket's left join side (see _cap_buckets).
+    grouped=False skips the final pair groupBy and returns raw
+    (doc_a, doc_b) candidate rows (duplicated across shared bands) —
+    one shuffle cheaper for consumers that dedup anyway."""
+    bands = _minhash_bands(d)
     left = (
         _cap_buckets(bands, ["band", "sig"], bucket_cap)
         if bucket_cap is not None
         else bands
     )
     a, b = left.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if not grouped:
+        return joined.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+    return (
+        joined
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
@@ -1692,23 +1707,46 @@ _DEDUP_COMPONENTS_SQL = f"""
 """
 
 
+def _minhash_band_stars(d: DataFrame) -> DataFrame:
+    """STAR edges per (band, sig) bucket: (bucket-min doc, member) —
+    the connectivity-preserving contraction of the LSH pair graph.
+    Every bucket's members are pairwise candidates (a clique), and a
+    clique is spanned by the star from any one member, so components
+    over the stars EQUAL components over the full pair graph while the
+    edge count drops from sum(n_b^2)/2 to sum(n_b - 1), LINEAR in the
+    corpus (4.2M pairs -> ~10k edges at sf0.1). This is why
+    dedup_components can share the full-pair oracle: the output is the
+    same mathematical object."""
+    bands = _minhash_bands(d)
+    reps = bands.groupBy("band", "sig").agg(F.min("doc_id").alias("rep"))
+    return (
+        bands.join(reps, ["band", "sig"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+
+
 @_q("dedup_components", _DEDUP_COMPONENTS_SQL)
 def dedup_components(spark, sf_dir):
     """Duplicate CLUSTERS from near-dup PAIRS: every document labeled
     with the minimum doc_id reachable through the MinHash-LSH pair
     graph (singletons label themselves). Production dedup keeps
     doc_id == component as the canonical copy and drops the rest.
-    Iterative min-label propagation, one equi-join + one groupBy per
-    round, fixpoint-terminated, per-round localCheckpoint (lineage
-    stays O(1)); converges in O(graph diameter) rounds — near-dup
-    clusters are near-cliques, so a handful. The DuckDB oracle
-    recomputes the closure as a recursive CTE over the SAME pair SQL.
-    At adversarial diameters swap in large-star/small-star contraction
-    (Kiveris SoCC'14) — same join shapes, see operators/components.py."""
+
+    Scale shape: the propagation runs over STAR edges per LSH bucket
+    (_minhash_band_stars) — LINEAR in the corpus — not the quadratic
+    pair set, with provably identical components (each bucket is a
+    clique; the star spans it). The DuckDB oracle computes the closure
+    of the FULL pair graph (recursive CTE over dedup_minhash_lsh's own
+    contract SQL): a hash match therefore also re-proves the
+    star-contraction equivalence on real data, not just on paper.
+    Iterative min-label propagation with pointer doubling, fixpoint-
+    terminated, per-round localCheckpoint (operators/components.py);
+    at adversarial diameters swap in large-star/small-star contraction
+    (Kiveris SoCC'14) — same join shapes."""
     from sentinel2_crop_trait_timeseries_spark.operators.components import (
         connected_components,
     )
 
     d = _t(spark, sf_dir, "documents")
-    pairs = _minhash_lsh_pairs(d).select("doc_a", "doc_b")
-    return connected_components(d.select("doc_id"), pairs)
+    return connected_components(d.select("doc_id"), _minhash_band_stars(d))

@@ -9,31 +9,37 @@ cluster even when A,C never share a band. This module computes, for
 every node, the MINIMUM doc_id reachable through the pair graph — a
 deterministic integer label (no float conventions needed).
 
-Algorithm: iterative min-label propagation. Each round every node
-takes min(own label, neighbors' labels) via one equi-join + one
-groupBy; rounds repeat until a fixpoint (no label changed). The loop
-is a driver-side while over DataFrames — the reference's only
-iterative constructs are its fit loops (e.g. the R calibration,
+Algorithm: iterative min-label propagation WITH pointer doubling.
+Each round every node takes min(own label, neighbors' labels) via one
+equi-join + one groupBy, then compresses one hop of indirection
+(lbl(x) <- lbl(lbl(x)), a tiny self-join of the label table) — the
+doubling turns O(diameter) rounds into O(log diameter): a length-d
+chain that plain propagation walks one hop per round collapses in
+~log2(d) rounds. Rounds repeat until a fixpoint (no label changed).
+The loop is a driver-side while over DataFrames — the reference's
+only iterative constructs are its fit loops (e.g. the R calibration,
 src/scripts_dose_response/01_dose_response_parameter_fitting.R), and
-this plays that role for the dedup graph. Each round's result is
-localCheckpoint-ed: lineage stays O(1) instead of growing by two
-shuffles per round, and the convergence check reuses the materialized
-result instead of re-running the chain.
+this plays that role for the dedup graph. The edge input and each
+round's result are localCheckpoint-ed: the (possibly expensive)
+pair-generation chain executes exactly once, lineage stays O(1), and
+the convergence check reuses the materialized result.
 
-Scale: propagation converges in O(graph diameter) rounds — near-dup
-clusters are dense (clone clusters are near-cliques, diameter 1-2),
-so a handful of rounds suffices in practice. For adversarial
-long-chain graphs at 100 TB, swap the propagation body for
-alternating large-star/small-star contraction (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) which bounds
-rounds by O(log^2 n); the join/groupBy shape — and this module's
-fixpoint loop + checkpoint discipline — stay the same.
+Scale: the per-round cost is one shuffle of the edge list (label
+propagation) plus a node-table self-join (compression) — both
+map-side combinable. For adversarial graphs at 100 TB, swap the body
+for alternating large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), which also
+shrinks the EDGE list as it converges; the fixpoint loop + checkpoint
+discipline here stay the same.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+BROADCAST_NODE_CAP = 5_000_000  # labels broadcast below this node count
 
 
 def connected_components(
@@ -48,35 +54,64 @@ def connected_components(
 
     nodes: one row per node id (nodes absent from edges label
     themselves — singletons stay their own cluster). edges:
-    undirected pairs, any orientation, duplicates tolerated.
-    Raises if the fixpoint is not reached within max_iter rounds
-    (never expected at diameter-bounded near-dup graphs; the cap
-    guards driver runaway on adversarial inputs).
-    """
+    undirected pairs, any orientation, duplicates tolerated (they
+    collapse in the symmetrization distinct — callers can skip their
+    own pair dedup/grouping). Raises if the fixpoint is not reached
+    within max_iter rounds (never expected at diameter-bounded
+    near-dup graphs; the cap guards driver runaway on adversarial
+    inputs).
+
+    Join strategy: when the node table fits comfortably in an executor
+    (< BROADCAST_NODE_CAP rows) the per-round label lookup rides a
+    BROADCAST join — the edge list never shuffles, each round is one
+    map-side pass + a partial-aggregated min. Above the cap (billions
+    of docs) the lookup falls back to a shuffle equi-join and the
+    right scale play is large-star/small-star edge contraction (see
+    module docstring)."""
+    # checkpoint the raw pairs FIRST: the union below references them
+    # twice, and without this the (possibly expensive) pair-generation
+    # chain would execute twice inside the symmetrization job
+    ep = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .union(edges.select(F.col(dst_col).alias("u"),
-                            F.col(src_col).alias("v")))
+        ep.union(ep.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("lbl")
     ).localCheckpoint(eager=True)
+    small = labels.count() < BROADCAST_NODE_CAP
+    hint = F.broadcast if small else (lambda df: df)
 
     for _ in range(max_iter):
         neigh = (
-            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            sym.join(hint(labels.withColumnRenamed("u", "v")), "v")
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
-            labels.join(neigh, "u", "left")
+        # checkpoint before the doubling self-join so the heavy edge
+        # propagation executes once per round, not once per branch
+        prop = (
+            labels.join(hint(neigh), "u", "left")
             .select(
                 "u",
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl")))
                 .alias("lbl"),
             )
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: follow one hop of label indirection —
+        # lbl(x) is itself a node id, so its label exists (inner join);
+        # labels only decrease, so least() keeps monotonicity
+        new_labels = (
+            prop.join(
+                prop.select(F.col("u").alias("lbl"),
+                            F.col("lbl").alias("lbl2")),
+                "lbl",
+            )
+            .select("u", F.least(F.col("lbl"), F.col("lbl2")).alias("lbl"))
             .localCheckpoint(eager=True)
         )
         changed = (
