@@ -447,9 +447,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     return _minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
-def _minhash_bands(d: DataFrame) -> DataFrame:
-    """(doc_id, band, sig): 2 band signatures per doc from 8 minhashes
-    (four 32-bit slices per salted md5 digest — 2 digests per word)."""
+def _minhash_profiles(d: DataFrame) -> DataFrame:
+    """(doc_id, sig0, sig1): the full band-signature profile per doc —
+    2 band signatures from 8 minhashes (four 32-bit slices per salted
+    md5 digest — 2 digests per word)."""
     dw = _words(d, distinct=True)
 
     def mh(k: int) -> F.Column:
@@ -472,12 +473,17 @@ def _minhash_bands(d: DataFrame) -> DataFrame:
             ).cast("binary")
         )
 
-    return mins.select(
+    return mins.select("doc_id", bsig(0).alias("sig0"), bsig(4).alias("sig1"))
+
+
+def _minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): the profile unpivoted to one row per band."""
+    return _minhash_profiles(d).select(
         "doc_id",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("band"), bsig(0).alias("sig")),
-                F.struct(F.lit(1).alias("band"), bsig(4).alias("sig")),
+                F.struct(F.lit(0).alias("band"), F.col("sig0").alias("sig")),
+                F.struct(F.lit(1).alias("band"), F.col("sig1").alias("sig")),
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
@@ -489,28 +495,86 @@ def _minhash_lsh_pairs(d: DataFrame, bucket_cap: int | None = None,
     each (band, sig) bucket's left join side (see _cap_buckets).
     grouped=False skips the final pair groupBy and returns raw
     (doc_a, doc_b) candidate rows (duplicated across shared bands) —
-    one shuffle cheaper for consumers that dedup anyway."""
-    bands = _minhash_bands(d)
-    left = (
-        _cap_buckets(bands, ["band", "sig"], bucket_cap)
-        if bucket_cap is not None
-        else bands
-    )
-    a, b = left.alias("a"), bands.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.sig") == F.col("b.sig"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    if not grouped:
-        return joined.select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    one shuffle cheaper for consumers that dedup anyway.
+
+    The exact (uncapped, grouped) path enumerates pairs at the level
+    of PROFILE CLASSES — docs with an identical (sig0, sig1) profile
+    collapse to one class keyed by the class-min doc_id — then fans
+    back out to per-doc pairs through two equi-joins. Output rows are
+    identical to the doc-level band self-join (the DuckDB contract
+    oracle still computes THAT form), but the quadratic enumeration
+    and the n_shared_bands count run over classes: a duplicate-heavy
+    corpus (the realistic LLM-dedup case; the sf fixtures have 5k docs
+    in 983 classes) cuts the band join's row volume by the square of
+    the duplication factor and drops the old 2x-banded pair stream +
+    4M-row groupBy entirely. Degenerate corpus with no duplicates =>
+    classes == docs and the plan degrades gracefully to the old one
+    (one extra window shuffle). Cross-engine safety: n_shared_bands is
+    a class property (within-class pairs share BOTH bands by
+    construction; two distinct classes can share at most one band,
+    since sharing both would make them the same class)."""
+    if bucket_cap is not None or not grouped:
+        bands = _minhash_bands(d)
+        left = (
+            _cap_buckets(bands, ["band", "sig"], bucket_cap)
+            if bucket_cap is not None
+            else bands
         )
-    return (
-        joined
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a, b = left.alias("a"), bands.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        if not grouped:
+            return joined.select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        return (
+            joined
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared_bands"))
+        )
+
+    # exact class-collapse path
+    w = Window.partitionBy("sig0", "sig1")
+    pdoc = _minhash_profiles(d).withColumn("cls", F.min("doc_id").over(w))
+    classes = pdoc.filter(F.col("doc_id") == F.col("cls")).select(
+        "cls", "sig0", "sig1"
+    )
+    cbands = classes.select(
+        "cls",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("sig0").alias("sig")),
+                F.struct(F.lit(1).alias("band"), F.col("sig1").alias("sig")),
+            )
+        ).alias("bs"),
+    ).select("cls", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ca, cb = cbands.alias("a"), cbands.alias("b")
+    cpairs = (
+        ca.join(
+            cb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.cls") <= F.col("b.cls")),
+        )
+        .groupBy(F.col("a.cls").alias("ca"), F.col("b.cls").alias("cb"))
         .agg(F.count("*").alias("n_shared_bands"))
+    )
+    da = pdoc.select(F.col("doc_id").alias("da"), F.col("cls").alias("ca"))
+    db = pdoc.select(F.col("doc_id").alias("db"), F.col("cls").alias("cb"))
+    return (
+        cpairs.join(da, "ca")
+        .join(db, "cb")
+        .filter((F.col("ca") != F.col("cb")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_shared_bands",
+        )
     )
 
 
