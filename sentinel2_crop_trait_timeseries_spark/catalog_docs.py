@@ -621,7 +621,19 @@ def dedup_simhash(spark, sf_dir):
 
 def _simhash_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs at Hamming <= 2; bucket_cap caps
-    each (pi, c1, c2) banding bucket's left join side."""
+    each (pi, c1, c2) banding bucket's left join side.
+
+    Like _minhash_lsh_pairs, the exact (uncapped) path enumerates
+    candidates at the level of SIGNATURE CLASSES: the simhash is a
+    function of the distinct word set alone, so duplicate docs share a
+    signature and collapse to one class (keyed by the class-min
+    doc_id). The banding self-join, candidate dedup and Hamming filter
+    all run over classes; two equi-joins fan the surviving class pairs
+    back out to per-doc pairs (within-class pairs have Hamming 0 and
+    always qualify). Output is row-identical to the doc-level search —
+    the DuckDB oracle still computes that form — while a
+    duplicate-heavy corpus cuts the quadratic bucket join by the
+    square of the duplication factor."""
     dw = _words(d, distinct=True)
     # one aggregate column per bit instead of exploding 32 rows per word:
     # the (doc, word) stream shuffles ONCE at its natural size and the 32
@@ -663,35 +675,68 @@ def _simhash_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
         )
         for k, (i, j) in enumerate(pair_combos)
     ])
-    chunks = sig.select(
-        "doc_id", "simhash", F.explode(bands).alias("p")
-    ).select(
-        "doc_id", "simhash",
-        F.col("p.pi").alias("pi"), F.col("p.c1").alias("c1"),
-        F.col("p.c2").alias("c2"),
-    )
-    left = (
-        _cap_buckets(chunks, ["pi", "c1", "c2"], bucket_cap)
-        if bucket_cap is not None
-        else chunks
-    )
-    a = left.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
-        "pi", "c1", "c2",
-    )
-    b = chunks.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
-        "pi", "c1", "c2",
-    )
-    cand = (
-        a.join(b, ["pi", "c1", "c2"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    def explode_chunks(df: DataFrame, key: str) -> DataFrame:
+        return df.select(
+            key, "simhash", F.explode(bands).alias("p")
+        ).select(
+            key, "simhash",
+            F.col("p.pi").alias("pi"), F.col("p.c1").alias("c1"),
+            F.col("p.c2").alias("c2"),
+        )
+
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
-        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+    if bucket_cap is not None:
+        chunks = explode_chunks(sig, "doc_id")
+        left = _cap_buckets(chunks, ["pi", "c1", "c2"], bucket_cap)
+        a = left.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
+            "pi", "c1", "c2",
+        )
+        b = chunks.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
+            "pi", "c1", "c2",
+        )
+        cand = (
+            a.join(b, ["pi", "c1", "c2"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        return (
+            cand.select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= 2)
+        )
+
+    # exact class-collapse path
+    w = Window.partitionBy("simhash")
+    sdoc = sig.withColumn("cls", F.min("doc_id").over(w))
+    classes = sdoc.filter(F.col("doc_id") == F.col("cls")).select("cls", "simhash")
+    cchunks = explode_chunks(classes, "cls")
+    a = cchunks.select(
+        F.col("cls").alias("ca"), F.col("simhash").alias("sa"),
+        "pi", "c1", "c2",
+    )
+    b = cchunks.select(
+        F.col("cls").alias("cb"), F.col("simhash").alias("sb"),
+        "pi", "c1", "c2",
+    )
+    cpairs = (
+        a.join(b, ["pi", "c1", "c2"])
+        .filter(F.col("ca") <= F.col("cb"))
+        .dropDuplicates(["ca", "cb"])
+        .select("ca", "cb", ham.alias("hamming"))
         .filter(F.col("hamming") <= 2)
+    )
+    da = sdoc.select(F.col("doc_id").alias("da"), F.col("cls").alias("ca"))
+    db = sdoc.select(F.col("doc_id").alias("db"), F.col("cls").alias("cb"))
+    return (
+        cpairs.join(da, "ca")
+        .join(db, "cb")
+        .filter((F.col("ca") != F.col("cb")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
     )
 
 
