@@ -53,6 +53,31 @@ def test_minhash_cap_is_noop_when_buckets_fit(spark):
     assert exact == wide
 
 
+def test_simhash_cap_is_noop_when_buckets_fit(spark):
+    # cross-validates the exact CLASS-collapse path (cap=None) against
+    # the doc-level banding path (cap too wide to ever trigger)
+    d = _fixture(spark).filter(F.col("doc_id") % 97 < 5)  # small corpus
+    exact = {tuple(r) for r in _simhash_pairs(d).collect()}
+    wide = {tuple(r) for r in _simhash_pairs(d, bucket_cap=10**6).collect()}
+    assert exact == wide
+
+
+def test_minhash_class_collapse_handles_clone_cluster(spark):
+    # the exact path enumerates the 1000-clone cluster as ONE class:
+    # within-class pairs carry n_shared_bands=2 and cover all C(n,2)
+    d = _fixture(spark)
+    pairs = _minhash_lsh_pairs(d).filter(
+        (F.col("doc_a") < CLONES) & (F.col("doc_b") < CLONES)
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n"),
+        F.min("n_shared_bands").alias("lo"),
+        F.max("n_shared_bands").alias("hi"),
+    ).first()
+    assert agg["n"] == CLONES * (CLONES - 1) // 2
+    assert agg["lo"] == agg["hi"] == 2
+
+
 def test_simhash_cap_bounds_pairs_and_keeps_connectivity(spark):
     d = _fixture(spark)
     capped = _simhash_pairs(d, bucket_cap=CAP).cache()
