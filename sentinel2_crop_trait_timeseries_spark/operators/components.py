@@ -15,7 +15,10 @@ equi-join + one groupBy, then compresses one hop of indirection
 (lbl(x) <- lbl(lbl(x)), a tiny self-join of the label table) — the
 doubling turns O(diameter) rounds into O(log diameter): a length-d
 chain that plain propagation walks one hop per round collapses in
-~log2(d) rounds. Rounds repeat until a fixpoint (no label changed).
+~log2(d) rounds. Rounds repeat until a fixpoint, witnessed by the
+exact label sum (labels are per-node monotone non-increasing, so an
+unchanged sum means no label changed — one scan of the new labels
+instead of a join against the previous round's).
 The loop is a driver-side while over DataFrames — the reference's
 only iterative constructs are its fit loops (e.g. the R calibration,
 src/scripts_dose_response/01_dose_response_parameter_fitting.R), and
@@ -49,6 +52,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    doublings: int = 1,
 ) -> DataFrame:
     """(id_col, component) for every node; component = min reachable id.
 
@@ -82,8 +86,15 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("lbl")
     ).localCheckpoint(eager=True)
-    small = labels.count() < BROADCAST_NODE_CAP
+    stats = labels.agg(
+        F.count("*").alias("n"),
+        # decimal(38,0): an exact fixpoint witness that cannot overflow
+        # at any realistic corpus size (sum of <= ~1e9 63-bit ids)
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"),
+    ).first()
+    small = stats["n"] < BROADCAST_NODE_CAP
     hint = F.broadcast if small else (lambda df: df)
+    prev_sum = stats["s"]
 
     for _ in range(max_iter):
         neigh = (
@@ -91,7 +102,7 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        # checkpoint before the doubling self-join so the heavy edge
+        # checkpoint before the doubling self-joins so the heavy edge
         # propagation executes once per round, not once per branch
         prop = (
             labels.join(hint(neigh), "u", "left")
@@ -102,30 +113,41 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        # pointer doubling: follow one hop of label indirection —
-        # lbl(x) is itself a node id, so its label exists (inner join);
-        # labels only decrease, so least() keeps monotonicity
-        new_labels = (
-            prop.join(
-                prop.select(F.col("u").alias("lbl"),
-                            F.col("lbl").alias("lbl2")),
-                "lbl",
+        # pointer doubling, `doublings` times: each application follows
+        # one hop of label indirection (lbl(x) is itself a node id, so
+        # its label exists — inner join; labels only decrease, so
+        # least() keeps monotonicity). Default is ONE application:
+        # measured on the LSH star graphs, extra applications do not
+        # reduce the round count (the fixpoint is limited by label
+        # information moving one EDGE hop per round through the
+        # propagation join, not by pointer-chain length), so they are
+        # pure per-round overhead; the knob stays for graphs whose
+        # label chains, not edge hops, dominate.
+        x = prop
+        for _ in range(doublings):
+            x = (
+                x.join(
+                    hint(x.select(F.col("u").alias("lbl"),
+                                  F.col("lbl").alias("lbl2"))),
+                    "lbl",
+                )
+                .select("u", F.least(F.col("lbl"), F.col("lbl2")).alias("lbl"))
+                .localCheckpoint(eager=True)
             )
-            .select("u", F.least(F.col("lbl"), F.col("lbl2")).alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        new_labels = x
+        # fixpoint witness: per-node labels are monotonically
+        # non-increasing, so the exact label SUM is unchanged iff no
+        # label changed — one scan of the checkpointed result instead
+        # of a join against the previous round
+        cur_sum = new_labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels.select(
                 F.col("u").alias(id_col), F.col("lbl").alias("component")
             )
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

@@ -44,4 +44,7 @@ def test_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, edges, max_iter=2)
+        # doublings=1 (the slow-compression setting) so the length-5
+        # chain genuinely cannot finish in 2 rounds; the default
+        # doublings=3 compresses 8 hops per round and converges
+        connected_components(nodes, edges, max_iter=2, doublings=1)
