@@ -67,6 +67,9 @@ HEADLINE = [
     "dedup_components",
     "ann_pq",
     "ann_ivfpq",
+    # late-r4: streaming incremental dedup (arrivals probe the static
+    # corpus band index per microbatch)
+    "streaming_dedup_probe",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -1859,3 +1859,47 @@ def dedup_components(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return connected_components(d.select("doc_id"), _minhash_band_stars(d))
+
+
+@_q(
+    "streaming_dedup_probe",
+    f"""
+    WITH dw AS (SELECT DISTINCT doc_id, w FROM ({_SQL_WORDS})),
+    hashes AS (
+      SELECT doc_id,
+             {", ".join(
+                 "min(%s) AS m%d" % (_mh_sql(k), k)
+                 for k in range(_MINHASH_K)
+             )}
+      FROM dw GROUP BY 1
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, {_km_sig_sql(0)} AS sig FROM hashes
+      UNION ALL
+      SELECT doc_id, 1 AS band, {_km_sig_sql(4)} AS sig FROM hashes
+    )
+    SELECT a.doc_id AS doc_new, b.doc_id AS doc_idx,
+           count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+    GROUP BY 1, 2
+    """,
+)
+def streaming_dedup_probe(spark, sf_dir):
+    """Streaming incremental dedup: the arrival slice (doc_id % 10 ==
+    0) streams through foreachBatch and probes the STATIC MinHash band
+    index of the remaining corpus — (doc_new, doc_idx,
+    n_shared_bands) candidate pairs, the continuous-ingestion twin of
+    dedup_minhash_lsh (new crawl shards are checked against the
+    accepted corpus before admission; the corpus index rebuilds
+    offline). The oracle is the batch band join restricted to
+    new-vs-corpus pairs, so a hash match proves the streaming
+    microbatch path emits exactly the batch pairs. Arrivals are
+    broadcast per microbatch; the corpus index never moves
+    (streaming/dedup_stream.py)."""
+    from sentinel2_crop_trait_timeseries_spark.streaming.dedup_stream import (
+        run_dedup_stream_once,
+    )
+
+    return run_dedup_stream_once(spark, sf_dir)
