@@ -70,6 +70,9 @@ HEADLINE = [
     # late-r4: streaming incremental dedup (arrivals probe the static
     # corpus band index per microbatch)
     "streaming_dedup_probe",
+    # late-r4: retention-policy serving view + invalidation refresh
+    "retention_serving_union",
+    "caggs_incremental_refresh",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -815,3 +815,109 @@ def fit_sigmoid_logit(spark, sf_dir):
             "fit_rmse",
         )
     )
+
+
+# =====================================================================
+# Retention policy + invalidation refresh (the "retention engine" core)
+# =====================================================================
+
+_SQL_RETENTION_SERVING = """
+    WITH anchor AS (
+      SELECT cast((floor(floor(epoch(max(ts)))/86400)+1)*86400 AS bigint) AS a
+      FROM events
+    ),
+    tagged AS (
+      SELECT event_type, value,
+             cast(floor(epoch(ts)) AS bigint) AS sec,
+             (SELECT a FROM anchor) - cast(floor(epoch(ts)) AS bigint) AS age
+      FROM events
+    )
+    SELECT 'raw' AS tier, event_type, sec AS bucket_ts,
+           count(*) AS n,
+           round(1e-9 + sum(value), 4) AS sum_value,
+           round(1e-9 + avg(value), 4) AS mean_value
+    FROM tagged WHERE age <= 172800 GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hourly', event_type, cast(floor(sec/3600)*3600 AS bigint),
+           count(*), round(1e-9 + sum(value), 4), round(1e-9 + avg(value), 4)
+    FROM tagged WHERE age > 172800 AND age <= 604800 GROUP BY 2, 3
+    UNION ALL
+    SELECT 'daily', event_type, cast(floor(sec/86400)*86400 AS bigint),
+           count(*), round(1e-9 + sum(value), 4), round(1e-9 + avg(value), 4)
+    FROM tagged WHERE age > 604800 AND age <= 1814400 GROUP BY 2, 3
+    UNION ALL
+    SELECT 'weekly', event_type,
+           cast((floor((floor(sec/86400)+3)/7)*7-3)*86400 AS bigint),
+           count(*), round(1e-9 + sum(value), 4), round(1e-9 + avg(value), 4)
+    FROM tagged WHERE age > 1814400 GROUP BY 2, 3
+"""
+
+
+@_q("retention_serving_union", _SQL_RETENTION_SERVING)
+def retention_serving_union(spark, sf_dir):
+    """Retention-policy serving view: the freshest 2 days stay raw,
+    then hourly to 7 d, daily to 21 d, weekly forever — each event is
+    served at exactly one tier (integer age bands against the
+    deterministic day-after-max anchor partition the timeline), so the
+    union is THE query surface a retention engine exposes after old
+    raw data is dropped. Routes through
+    operators/rollup.py::retention_serving; the oracle rebuilds all
+    four age bands from the raw table, so a hash match proves the
+    stitched view loses and double-counts nothing. Scale shape: the
+    anchor is a 1-row broadcast; each band's age predicate prunes a
+    date-partitioned scan to its own slice."""
+    from sentinel2_crop_trait_timeseries_spark.operators.rollup import (
+        retention_serving,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    out = retention_serving(ev)
+    return out.select(
+        "tier", "event_type", "bucket_ts", "n",
+        F.round(F.lit(1e-9) + F.col("sum_value"), 4).alias("sum_value"),
+        F.round(F.lit(1e-9) + F.col("sum_value") / F.col("n"), 4).alias(
+            "mean_value"
+        ),
+    )
+
+
+@_q(
+    "caggs_incremental_refresh",
+    f"""
+    SELECT event_type, {_SQL_DAY} AS bucket_ts, count(*) AS n,
+           round(1e-9 + sum(value), 4) AS sum_value,
+           round(1e-9 + avg(value), 4) AS mean_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def caggs_incremental_refresh(spark, sf_dir):
+    """Continuous-aggregate refresh with invalidation: 5% of events
+    (event_id % 20 == 0) arrive LATE; the daily tier was materialized
+    without them. The refresh recomputes only the invalidated
+    (event_type, day) buckets — distinct buckets touched by the late
+    batch, broadcast into a left-anti (drop stale) and a left-semi
+    (restrict the recompute scan) join — and unions the untouched
+    materialization. The oracle is the plain full recompute over all
+    events, so a hash match proves the incremental path is EXACT, not
+    approximately-merged: refresh work scales with the invalidated
+    slice, correctness never degrades to eventual. Routes through
+    operators/rollup.py::incremental_refresh."""
+    from sentinel2_crop_trait_timeseries_spark.operators.rollup import (
+        incremental_refresh,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    late = ev.filter(F.col("event_id") % 20 == 0).drop("event_id")
+    initial = ev.filter(F.col("event_id") % 20 != 0).drop("event_id")
+    ref = incremental_refresh(initial, late)
+    return ref.select(
+        "event_type", "bucket_ts", "n",
+        F.round(F.lit(1e-9) + F.col("sum_value"), 4).alias("sum_value"),
+        F.round(F.lit(1e-9) + F.col("sum_value") / F.col("n"), 4).alias(
+            "mean_value"
+        ),
+        "min_value", "max_value",
+    )

@@ -116,3 +116,132 @@ def continuous_aggregate(obs: DataFrame, tier: str = "daily",
         F.stddev_pop(v).alias("std_value"),
         *qcols,
     )
+
+
+# =====================================================================
+# Retention policy enforcement + invalidation-based incremental refresh
+# =====================================================================
+
+# (tier, bucket width in seconds | "week", retention horizon in seconds
+# of AGE against the anchor | None = keep forever). Ordered finest ->
+# coarsest with strictly increasing horizons: an event whose age falls
+# inside tier i's horizon (and past tier i-1's) is served at tier i's
+# resolution — raw detail for the freshest window, hourly for the next,
+# then daily, then weekly forever. This is the serving contract of a
+# retention engine: old raw data is DROPPED once its window passes
+# because the coarser rollup already covers it.
+RETENTION_POLICY = (
+    ("raw", 1, 2 * 86400),
+    ("hourly", 3600, 7 * 86400),
+    ("daily", 86400, 21 * 86400),
+    ("weekly", "week", None),
+)
+
+
+def _sec(col) -> F.Column:
+    """Epoch seconds as BIGINT (tz-free; micros truncated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
+
+
+def _bucket_sec(sec: F.Column, width) -> F.Column:
+    """Bucket an epoch-seconds column: fixed width, or Monday-aligned
+    weeks (epoch day 0 = Thursday, so shift by 3 days)."""
+    if width == "week":
+        day = F.floor(sec / 86400)
+        return ((F.floor((day + 3) / 7) * 7 - 3) * 86400).cast("long")
+    return (F.floor(sec / width) * width).cast("long")
+
+
+def retention_serving(obs: DataFrame, keys: list[str] = ("event_type",),
+                      value_col: str = "value", ts_col: str = "ts",
+                      policy=RETENTION_POLICY) -> DataFrame:
+    """The stitched multi-resolution serving view under a retention
+    policy: each event lands in EXACTLY ONE tier (age bands partition
+    the timeline), aggregated at that tier's bucket width. Output
+    columns: tier, *keys, bucket_ts, n, sum_value (unrounded).
+
+    The anchor is the day boundary after the newest observation —
+    deterministic from the data, no wall clock. Age is integer epoch
+    arithmetic, so tier-band membership has no float boundary hazard.
+    The anchor is a 1-row broadcast cross join (a scalar subquery):
+    constant per-partition work at any scale. Each tier's branch
+    re-scans the source with its age band as a pushed-down predicate —
+    on a date-partitioned table that is partition pruning, and the
+    union's total scan volume equals one full scan.
+    """
+    keys = list(keys)
+    sec = _sec(ts_col)
+    anchor = obs.agg(
+        ((F.floor(F.max(sec) / 86400) + 1) * 86400).cast("long").alias("_anchor")
+    )
+    tagged = (
+        obs.crossJoin(F.broadcast(anchor))
+        .withColumn("_age", F.col("_anchor") - sec)
+    )
+    v = F.col(value_col)
+    tiers = []
+    lo = None
+    for tier, width, horizon in policy:
+        band = tagged
+        if lo is not None:
+            band = band.filter(F.col("_age") > lo)
+        if horizon is not None:
+            band = band.filter(F.col("_age") <= horizon)
+        tiers.append(
+            band.groupBy(*keys, _bucket_sec(sec, width).alias("bucket_ts"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(v).alias("sum_value"))
+            .select(F.lit(tier).alias("tier"), *keys, "bucket_ts", "n",
+                    "sum_value")
+        )
+        lo = horizon
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def incremental_refresh(initial: DataFrame, late: DataFrame,
+                        keys: list[str] = ("event_type",),
+                        value_col: str = "value", ts_col: str = "ts",
+                        width=86400) -> DataFrame:
+    """Invalidation-based continuous-aggregate refresh: given the
+    already-materialized tier over ``initial`` and a batch of late
+    arrivals, recompute ONLY the invalidated buckets and keep the rest.
+
+    The invalidation log is the distinct (keys, bucket) set touched by
+    the late batch — tiny at any scale, so both the anti-join (drop
+    stale buckets from the old materialization) and the semi-join
+    (restrict the recompute scan to invalidated buckets) broadcast it:
+    refresh work is proportional to the invalidated slice, never the
+    table. Returns the refreshed tier, bit-equal to a full recompute
+    (n, sum, min, max are refreshed from scratch per invalidated
+    bucket, not merged incrementally — so late data can never drift
+    the materialization).
+    """
+    keys = list(keys)
+    bucket = _bucket_sec(_sec(ts_col), width).alias("bucket_ts")
+    v = F.col(value_col)
+
+    def _roll(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys, bucket).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("sum_value"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+        )
+
+    m_old = _roll(initial)
+    inval = late.select(*keys, bucket).distinct()
+    keep = m_old.join(F.broadcast(inval), keys + ["bucket_ts"], "left_anti")
+    full = initial.unionByName(late)
+    touched = full.withColumn("bucket_ts", bucket).join(
+        F.broadcast(inval), keys + ["bucket_ts"], "left_semi"
+    )
+    recomputed = touched.groupBy(*keys, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sum_value"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+    )
+    return keep.unionByName(recomputed)
