@@ -28,10 +28,13 @@ from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES  # noqa: E402
 #
 # Round-4 _HEAD = the 13 queries parked in r3's _TAIL (never yet
 # driver-verified) + everything changed or added this round (fixed-point
-# k-means pair, seed-escape fit pair, capped dedup pair, the new
-# streaming daily cascade) + engine-path proofs and LLM-pipeline
-# operators. Rotated out to _TAIL: 14 relational queries that are
-# driver-green in CORRECTNESS_r03.json and unchanged since.
+# k-means pair, seed-escape fit pair, capped dedup pair, streaming
+# daily/weekly cascades, PQ/IVF+PQ, components, streaming dedup probe,
+# retention views, sequence packing, vocab coverage) + engine-path
+# proofs and LLM-pipeline operators. Rotated out to _TAIL: 24
+# relational/docs queries that are driver-green in CORRECTNESS_r03.json
+# and unchanged since; every _TAIL entry is oracle-checked at sf0.001
+# by tests/test_tail_contract.py each CI run.
 _WINDOW = 50
 _HEAD = [
     # never driver-verified before (r3 _TAIL) — must land in-window
@@ -57,6 +60,16 @@ _HEAD = [
     "fit_sigmoid_events",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "ann_pq",
+    "ann_ivfpq",
+    "dedup_components",
+    "streaming_dedup_probe",
+    "pack_chunks_manifest",
+    "vocab_top_coverage",
+    "streaming_rollup_weekly",
+    "multimodal_resize_pixels",
+    "retention_serving_union",
+    "caggs_incremental_refresh",
     # engine-path proofs + flagship family
     "gorilla_roundtrip",
     "token_roundtrip",
@@ -78,21 +91,20 @@ _HEAD = [
     "embedding_label_stats",
     "ann_topk_bruteforce",
     "ann_multiprobe",
+]
+_TAIL = [
+    # all driver-green in CORRECTNESS_r03.json, unchanged since;
+    # rotate back into _HEAD next round
     "ann_ivf",
     "text_token_counts",
     "text_quality_score",
     "lang_id_wordprofile",
     "doc_fingerprint",
-    # relational representatives
     "spatial_snap_nn",
     "sessionize",
     "asof_join_signup",
     "rollup_hourly",
     "pricing_summary",
-]
-_TAIL = [
-    # all driver-green in CORRECTNESS_r03.json, unchanged since;
-    # rotate back into _HEAD next round
     "rollup_daily_cascade",
     "continuous_agg_daily",
     "rollup_grouping_sets",

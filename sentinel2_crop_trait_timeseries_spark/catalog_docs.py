@@ -1903,3 +1903,181 @@ def streaming_dedup_probe(spark, sf_dir):
     )
 
     return run_dedup_stream_once(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) + vocabulary coverage — the two
+# remaining token-payload operators of an LLM pretraining pipeline:
+# docs are concatenated per source in doc_id order and split into
+# fixed-width context windows; the manifest says which docs feed which
+# window. Reference analog: the per-pixel time-stack assembly before
+# interpolation (reference combines per-scene rasters into one ordered
+# cube per tile; here docs into one ordered token stream per source).
+# ---------------------------------------------------------------------
+
+_PACK_W = 256  # context window width (tokens)
+_PACK_B = 64  # docs per offset bucket (two-level prefix sum)
+
+_SQL_NTOK = r"len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))"
+
+
+@_q(
+    "pack_chunks_manifest",
+    rf"""
+    WITH d AS (
+      SELECT source, doc_id, {_SQL_NTOK} AS n_tok
+      FROM documents
+    ),
+    o AS (
+      SELECT source, doc_id, n_tok,
+             cast(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok
+                  AS bigint) AS off
+      FROM d WHERE n_tok > 0
+    ),
+    x AS (
+      SELECT source, doc_id, n_tok, off,
+             unnest(range(off // {_PACK_W},
+                          (off + n_tok - 1) // {_PACK_W} + 1)) AS chunk_id
+      FROM o
+    )
+    SELECT source, cast(chunk_id AS bigint) AS chunk_id,
+           count(*) AS n_docs,
+           cast(sum(least((chunk_id + 1) * {_PACK_W}, off + n_tok)
+                    - greatest(chunk_id * {_PACK_W}, off)) AS bigint)
+             AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           cast(sum(CASE WHEN off >= chunk_id * {_PACK_W} THEN 1 ELSE 0 END)
+                AS bigint) AS n_starting
+    FROM x GROUP BY 1, 2
+    """,
+)
+def pack_chunks_manifest(spark, sf_dir):
+    """Concat-and-chunk sequence packing manifest: per source, docs are
+    concatenated in doc_id order and the token stream is cut into
+    fixed 256-token context windows; output is one row per (source,
+    chunk) with doc count, token count (== 256 except each source's
+    last chunk), doc_id extent, and how many docs START inside the
+    chunk (1 - n_starting/n_docs = boundary-fragmentation rate).
+
+    Scale: the naive plan is a cumsum window partitioned by source —
+    ONE task per source, serial at 100 TB where a source holds 10^10
+    docs. This plan is a two-level distributed prefix sum instead:
+    (1) groupBy (source, doc_id//64) partial sums — map-side
+    combinable, parallel; (2) a window over the tiny bucket-totals
+    table (rows = docs/64) for bucket base offsets; (3) a window
+    partitioned by (source, bucket) for within-bucket offsets —
+    parallel across buckets. The only per-source serial state is the
+    bucket-totals cumsum, 64x smaller than the corpus (and itself
+    re-bucketable into level 3 at 10^12 docs). The chunk explode is
+    sequence() on integers; every output column is BIGINT arithmetic,
+    so the oracle (a plain one-level window cumsum) is hash-exact.
+    All integers: no fp anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    d = d.select(
+        "source",
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    d = d.withColumn("b", (F.col("doc_id") / _PACK_B).cast("long"))
+
+    # level 1: per-bucket totals (shuffle on (source, b), parallel)
+    bt = d.groupBy("source", "b").agg(F.sum("n_tok").alias("tot"))
+    # level 2: bucket base offsets — window over the 64x-smaller table
+    wb = Window.partitionBy("source").orderBy("b")
+    bt = bt.select(
+        "source",
+        "b",
+        (F.sum("tot").over(wb) - F.col("tot")).alias("boff"),
+    )
+    # level 3: within-bucket offsets — parallel across (source, b)
+    ww = (
+        Window.partitionBy("source", "b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = (
+        d.withColumn("woff", F.sum("n_tok").over(ww) - F.col("n_tok"))
+        .join(bt, ["source", "b"])
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            (F.col("boff") + F.col("woff")).alias("off"),
+        )
+    )
+
+    w = F.lit(_PACK_W).cast("long")
+    c0 = (F.col("off") / _PACK_W).cast("long")
+    c1 = ((F.col("off") + F.col("n_tok") - 1) / _PACK_W).cast("long")
+    x = o.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        "off",
+        F.explode(F.sequence(c0, c1)).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("chunk_id") * w, F.col("off"))
+    hi = F.least((F.col("chunk_id") + 1) * w, F.col("off") + F.col("n_tok"))
+    return x.groupBy("source", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(hi - lo).alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(
+            F.when(F.col("off") >= F.col("chunk_id") * w, 1).otherwise(0)
+        ).alias("n_starting"),
+    )
+
+
+@_q(
+    "vocab_top_coverage",
+    f"""
+    WITH c AS (
+      SELECT w, count(*) AS cnt FROM ({_SQL_WORDS}) GROUP BY 1
+    ),
+    t AS (SELECT cast(sum(cnt) AS bigint) AS total_tokens,
+                 count(*) AS vocab_size FROM c),
+    r AS (
+      SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+      FROM c
+    )
+    SELECT rank, w, cnt,
+           cast(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+                AS bigint) AS cum_cnt,
+           total_tokens, vocab_size
+    FROM r, t WHERE rank <= 100
+    """,
+)
+def vocab_top_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: the 100 most frequent corpus tokens
+    with rank, count, cumulative count, total token mass and vocab
+    size — the vocab-size-vs-coverage diagnostic run before choosing
+    a tokenizer vocab. Ranking ties break on the token string, so the
+    order is deterministic; every column is BIGINT (coverage SHARE is
+    cum_cnt/total_tokens, left to the consumer to divide).
+
+    Scale: the global top-100 is orderBy(...).limit(100) — Catalyst
+    plans TakeOrderedAndProject (per-partition top-K, K-row merge on
+    the driver), never a global sort; the word-count groupBy is
+    map-side combinable. The two windows that remain (row_number +
+    cumsum) run on exactly 100 rows. total/vocab aggregate once and
+    broadcast-joins back (1-row cross join)."""
+    d = _t(spark, sf_dir, "documents")
+    c = _words(d).groupBy("w").agg(F.count("*").alias("cnt"))
+    t = c.agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+    )
+    top = c.orderBy(F.desc("cnt"), "w").limit(100)
+    wr = Window.orderBy(F.desc("cnt"), "w")
+    wc = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(wr))
+        .withColumn("cum_cnt", F.sum("cnt").over(wc))
+        .crossJoin(F.broadcast(t))
+        .select("rank", "w", "cnt", "cum_cnt", "total_tokens", "vocab_size")
+    )
