@@ -65,6 +65,7 @@ _HEAD = [
     "dedup_components",
     "streaming_dedup_probe",
     "pack_chunks_manifest",
+    "pack_chunk_tokens",
     "vocab_top_coverage",
     "streaming_rollup_weekly",
     "multimodal_resize_pixels",
@@ -90,11 +91,11 @@ _HEAD = [
     "dedup_embedding_cosine",
     "embedding_label_stats",
     "ann_topk_bruteforce",
-    "ann_multiprobe",
 ]
 _TAIL = [
     # all driver-green in CORRECTNESS_r03.json, unchanged since;
     # rotate back into _HEAD next round
+    "ann_multiprobe",
     "ann_ivf",
     "text_token_counts",
     "text_quality_score",

@@ -1920,20 +1920,64 @@ _PACK_B = 64  # docs per offset bucket (two-level prefix sum)
 
 _SQL_NTOK = r"len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))"
 
+# shared oracle CTE: per-doc global token offset via a plain one-level
+# window cumsum (the hash-exact single-node twin of _pack_offsets)
+_SQL_PACK_OFF = rf"""
+      SELECT source, doc_id, {_SQL_NTOK} AS n_tok, text,
+             cast(sum({_SQL_NTOK}) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  - {_SQL_NTOK} AS bigint) AS off
+      FROM documents
+      WHERE {_SQL_NTOK} > 0
+"""
+
+
+def _pack_offsets(d: DataFrame) -> DataFrame:
+    """(source, doc_id, n_tok, off): each doc's global token offset in
+    its source's concatenated stream (doc_id order), via a TWO-LEVEL
+    distributed prefix sum — bucket partial sums (groupBy, map-side
+    combinable) + a window over the 64x-smaller bucket-totals table
+    (broadcast back) + within-bucket windows (parallel across buckets).
+    Never one-task-per-source: the only per-source serial state is the
+    bucket cumsum, `_PACK_B`x smaller than the corpus and itself
+    re-bucketable at 10^12 docs."""
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    d = d.select(
+        "source",
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    d = d.withColumn("b", (F.col("doc_id") / _PACK_B).cast("long"))
+
+    bt = d.groupBy("source", "b").agg(F.sum("n_tok").alias("tot"))
+    wb = Window.partitionBy("source").orderBy("b")
+    bt = bt.select(
+        "source",
+        "b",
+        (F.sum("tot").over(wb) - F.col("tot")).alias("boff"),
+    )
+    ww = (
+        Window.partitionBy("source", "b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("woff", F.sum("n_tok").over(ww) - F.col("n_tok"))
+        .join(bt, ["source", "b"])
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            (F.col("boff") + F.col("woff")).alias("off"),
+        )
+    )
+
 
 @_q(
     "pack_chunks_manifest",
     rf"""
-    WITH d AS (
-      SELECT source, doc_id, {_SQL_NTOK} AS n_tok
-      FROM documents
-    ),
-    o AS (
-      SELECT source, doc_id, n_tok,
-             cast(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) - n_tok
-                  AS bigint) AS off
-      FROM d WHERE n_tok > 0
+    WITH o AS (
+{_SQL_PACK_OFF}
     ),
     x AS (
       SELECT source, doc_id, n_tok, off,
@@ -1973,40 +2017,7 @@ def pack_chunks_manifest(spark, sf_dir):
     sequence() on integers; every output column is BIGINT arithmetic,
     so the oracle (a plain one-level window cumsum) is hash-exact.
     All integers: no fp anywhere."""
-    d = _t(spark, sf_dir, "documents")
-    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    d = d.select(
-        "source",
-        "doc_id",
-        F.size(ws).cast("long").alias("n_tok"),
-    ).filter(F.col("n_tok") > 0)
-    d = d.withColumn("b", (F.col("doc_id") / _PACK_B).cast("long"))
-
-    # level 1: per-bucket totals (shuffle on (source, b), parallel)
-    bt = d.groupBy("source", "b").agg(F.sum("n_tok").alias("tot"))
-    # level 2: bucket base offsets — window over the 64x-smaller table
-    wb = Window.partitionBy("source").orderBy("b")
-    bt = bt.select(
-        "source",
-        "b",
-        (F.sum("tot").over(wb) - F.col("tot")).alias("boff"),
-    )
-    # level 3: within-bucket offsets — parallel across (source, b)
-    ww = (
-        Window.partitionBy("source", "b")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    o = (
-        d.withColumn("woff", F.sum("n_tok").over(ww) - F.col("n_tok"))
-        .join(bt, ["source", "b"])
-        .select(
-            "source",
-            "doc_id",
-            "n_tok",
-            (F.col("boff") + F.col("woff")).alias("off"),
-        )
-    )
+    o = _pack_offsets(_t(spark, sf_dir, "documents"))
 
     w = F.lit(_PACK_W).cast("long")
     c0 = (F.col("off") / _PACK_W).cast("long")
@@ -2081,3 +2092,74 @@ def vocab_top_coverage(spark, sf_dir):
         .crossJoin(F.broadcast(t))
         .select("rank", "w", "cnt", "cum_cnt", "total_tokens", "vocab_size")
     )
+
+
+@_q(
+    "pack_chunk_tokens",
+    rf"""
+    WITH o AS (
+{_SQL_PACK_OFF}
+    ),
+    x AS (
+      SELECT source, off + u.pos - 1 AS g,
+             {_SQL_H.format(x="u.w")} % 32768 AS tok
+      FROM o, LATERAL (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS w,
+               unnest(range(1, {_SQL_NTOK} + 1)) AS pos
+      ) u
+    )
+    SELECT source, g // {_PACK_W} AS chunk_id,
+           count(*) AS n_tok_chunk,
+           arg_min(tok, g) AS first_tok,
+           arg_max(tok, g) AS last_tok,
+           md5(string_agg(tok::varchar, ',' ORDER BY g)) AS chunk_md5
+    FROM x GROUP BY 1, 2
+    """,
+)
+def pack_chunk_tokens(spark, sf_dir):
+    """The packed chunks THEMSELVES, fingerprinted: materialize every
+    256-token context window's token ids (word -> shared 60-bit md5
+    hash % 32768) in stream order and emit the md5 of the ordered
+    comma-joined ids per (source, chunk) — the per-row token-array
+    equality invariant (BASELINE.json input_hint) applied to the
+    packing output: a hash match vs the oracle proves both engines
+    built BYTE-IDENTICAL context windows, token by token, in order.
+
+    This is the shard-checksum op a 10^12-sequence pipeline runs after
+    packing (writer and verifier compare manifests by chunk digest,
+    never by shipping token arrays). Plan: doc offsets via the
+    two-level prefix sum (_pack_offsets), posexplode to (global_pos,
+    tok), one shuffle to (source, chunk) groups — each exactly 256
+    structs — sorted in-group by array_sort (bounded memory), digested
+    JVM-side (md5/concat_ws; no Python). collect_list here is SAFE at
+    scale precisely because the group is the fixed-width chunk, never
+    the doc or the source."""
+    d = _t(spark, sf_dir, "documents")
+    o = _pack_offsets(d)
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    ex = d.select("doc_id", F.posexplode(ws).alias("pos", "w")).select(
+        "doc_id", "pos", (_h(F.col("w")) % 32768).alias("tok")
+    )
+    x = ex.join(o, "doc_id").select(
+        "source",
+        (F.col("off") + F.col("pos")).alias("g"),
+        "tok",
+    )
+    packed = x.groupBy(
+        "source", (F.col("g") / _PACK_W).cast("long").alias("chunk_id")
+    ).agg(
+        F.count("*").alias("n_tok_chunk"),
+        F.min_by("tok", "g").alias("first_tok"),
+        F.max_by("tok", "g").alias("last_tok"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("g", "tok"))),
+                    lambda s: s["tok"].cast("string"),
+                ),
+            ).cast("binary")
+        ).alias("chunk_md5"),
+    )
+    return packed

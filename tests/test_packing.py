@@ -89,3 +89,27 @@ def test_vocab_top_is_take_ordered(spark):
     assert cnts == sorted(cnts, reverse=True)
     assert rows[-1]["cum_cnt"] == sum(cnts)
     assert all(r["cum_cnt"] <= r["total_tokens"] for r in rows)
+
+
+def test_pack_chunk_tokens_agrees_with_manifest(spark):
+    """The fingerprinted chunks and the manifest describe the same
+    packing: identical (source, chunk_id) key set and identical token
+    counts per chunk."""
+    m = {
+        (r["source"], r["chunk_id"]): r["n_tokens"]
+        for r in QUERIES["pack_chunks_manifest"]["fn"](spark, SF).collect()
+    }
+    t = {
+        (r["source"], r["chunk_id"]): r["n_tok_chunk"]
+        for r in QUERIES["pack_chunk_tokens"]["fn"](spark, SF).collect()
+    }
+    assert t == m
+
+
+def test_pack_chunk_digest_is_order_sensitive(spark):
+    """Digests are distinct across chunks (the md5 actually encodes
+    content, not just counts): full chunks share n_tok_chunk=256 but
+    no two full chunks in the fixture share a digest."""
+    rows = QUERIES["pack_chunk_tokens"]["fn"](spark, SF).collect()
+    full = [r["chunk_md5"] for r in rows if r["n_tok_chunk"] == _PACK_W]
+    assert len(full) == len(set(full)) and len(full) > 0
