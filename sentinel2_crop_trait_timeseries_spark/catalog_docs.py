@@ -2163,3 +2163,361 @@ def pack_chunk_tokens(spark, sf_dir):
         ).alias("chunk_md5"),
     )
     return packed
+
+
+# ---------------------------------------------------------------------
+# curation batch 2: decontamination, LM quality, mixture weights, BPE
+# ---------------------------------------------------------------------
+
+
+@_q(
+    "decontaminate_overlap",
+    f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    ev AS (
+      SELECT DISTINCT sh, doc_id AS eval_doc FROM sh WHERE doc_id % 97 = 0
+    ),
+    tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+    hits AS (
+      SELECT t.doc_id, count(DISTINCT t.sh) AS n_hits,
+             min(e.eval_doc) AS first_eval_doc
+      FROM tr t JOIN ev e USING (sh) GROUP BY 1
+    )
+    SELECT h.doc_id, t.n_shingles, h.n_hits, h.first_eval_doc,
+           round(1e-9 + h.n_hits / cast(t.n_shingles AS double), 4)
+             AS overlap_frac
+    FROM hits h JOIN tot t USING (doc_id)
+    """,
+)
+def decontaminate_overlap(spark, sf_dir):
+    """Train/eval decontamination: flag training docs sharing word
+    n-gram shingles with a held-out eval split (doc_id % 97 == 0 —
+    the stand-in for a benchmark suite). The dataset-curation step
+    that keeps benchmark answers out of the training corpus; real
+    pipelines use 13-gram character/word windows, the fixture uses
+    the catalog's 3-word shingles so sf0.01 has signal (171 docs).
+
+    Scale shape: the eval/benchmark side is ALWAYS tiny relative to
+    the corpus (thousands of benchmark docs vs billions of training
+    docs), so its distinct shingle set is broadcast — the corpus-side
+    shingle stream never shuffles for the probe; the only exchange is
+    the per-doc count aggregation. All outputs are exact integers
+    plus one single-division ratio."""
+    sh = _shingles(_t(spark, sf_dir, "documents"))
+    ev = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select("sh", F.col("doc_id").alias("eval_doc"))
+        .distinct()
+    )
+    tr = sh.filter(F.col("doc_id") % 97 != 0)
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_hits"),
+            F.min("eval_doc").alias("first_eval_doc"),
+        )
+    )
+    return hits.join(tot, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        "first_eval_doc",
+        F.round(
+            F.lit(1e-9) + F.col("n_hits") / F.col("n_shingles").cast("double"), 4
+        ).alias("overlap_frac"),
+    )
+
+
+# ln(2) as a shared literal so neither engine computes it
+_LN2 = "0.6931471805599453"
+
+
+@_q(
+    "quality_lm_perplexity",
+    f"""
+    WITH words AS ({_SQL_WORDS}),
+    tc AS (
+      SELECT w, count(*) AS c FROM words WHERE doc_id % 5 <> 0 GROUP BY 1
+    ),
+    tot AS (
+      SELECT cast(sum(c) AS double) AS t, cast(count(*) AS double) AS v
+      FROM tc
+    ),
+    dw AS (SELECT doc_id, w, count(*) AS n_dw FROM words GROUP BY 1, 2),
+    contrib AS (
+      SELECT dw.doc_id, dw.n_dw, tc.c,
+             dw.n_dw * ln((coalesce(tc.c, 0) + 1.0) / (tot.t + tot.v)) AS lp
+      FROM dw LEFT JOIN tc USING (w), tot
+    )
+    SELECT doc_id,
+           cast(sum(n_dw) AS bigint) AS n_tok,
+           cast(coalesce(sum(n_dw) FILTER (c IS NULL), 0) AS bigint)
+             AS n_oov,
+           round(1e-9 - sum(lp) / sum(n_dw) / {_LN2}, 4) AS bits_per_token
+    FROM contrib GROUP BY 1
+    """,
+)
+def quality_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality score: a unigram LM with add-one
+    smoothing is fit on the training split (doc_id % 5 != 0, the
+    lang_id_wordprofile convention) and every doc is scored by its
+    cross-entropy in bits/token — the standard perplexity-bucket
+    filter for web-scale corpora (docs are kept/binned by LM score).
+
+    Determinism: per-(doc, word) log-probs are identical in both
+    engines (ln of an exactly-representable ratio of exact integers);
+    the per-doc sum is the repo's standard round(1e-9 + x, 4)
+    convention; ln(2) is a shared literal so neither engine computes
+    it. Scale shape: token stream aggregates to (doc, word) BEFORE
+    the model join (the join input shrinks ~10x), the model is a
+    plain shuffle join on word (vocab at 100 TB is billions of rows —
+    NOT broadcastable), and the two model scalars (T, V) ride in via
+    a broadcast single-row cross join."""
+    d = _t(spark, sf_dir, "documents")
+    w = _words(d)
+    tc = (
+        w.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tc.agg(
+        F.sum("c").cast("double").alias("t"),
+        F.count("*").cast("double").alias("v"),
+    )
+    dw = w.groupBy("doc_id", "w").agg(F.count("*").alias("n_dw"))
+    contrib = (
+        dw.join(tc, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_dw",
+            "c",
+            (
+                F.col("n_dw")
+                * F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("t") + F.col("v")))
+            ).alias("lp"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("n_dw").cast("long").alias("n_tok"),
+        F.coalesce(
+            F.sum(F.when(F.col("c").isNull(), F.col("n_dw"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.lit(1e-9)
+            - F.sum("lp") / F.sum("n_dw") / F.lit(float(_LN2)),
+            4,
+        ).alias("bits_per_token"),
+    )
+
+
+@_q(
+    "source_mixture_weights",
+    f"""
+    WITH words AS (
+      SELECT d.source, w.w
+      FROM ({_SQL_WORDS}) w JOIN documents d USING (doc_id)
+    ),
+    st AS (SELECT source, count(*) AS n_tok FROM words GROUP BY 1),
+    tot AS (
+      SELECT cast(sum(n_tok) AS double) AS t,
+             sum(pow(n_tok, 0.3)) AS wsum
+      FROM st
+    )
+    SELECT source, cast(n_tok AS bigint) AS n_tok,
+           cast(row_number() OVER (ORDER BY n_tok DESC, source) AS bigint)
+             AS size_rank,
+           round(1e-9 + pow(n_tok, 0.3) / tot.wsum, 6) AS weight,
+           round(1e-9 + pow(n_tok, 0.3) / tot.wsum * tot.t / n_tok, 4)
+             AS epochs_at_budget
+    FROM st, tot
+    """,
+)
+def source_mixture_weights(spark, sf_dir):
+    """Temperature-based source mixture weights: the domain-sampling
+    step of a training-data pipeline. Each source's sampling weight is
+    n_s^alpha / sum(n_s^alpha) with alpha=0.3 (temperature sampling —
+    upweights small domains relative to proportional sampling), and
+    epochs_at_budget says how many passes over source s a one-corpus-
+    pass token budget implies (>1 = the source is repeated, <1 =
+    subsampled).
+
+    Per-source token counts are exact BIGINTs from one map-side-
+    combinable groupBy over the token stream; the source table itself
+    is tiny at any corpus scale (domains, not docs), so the two
+    mixture scalars ride in via a broadcast single-row cross join and
+    the window rank is over the tiny table only. pow/division wobble
+    is ~1e-16 relative against 1e-6 rounding."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    st = (
+        d.select("source", F.explode(ws).alias("w"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    tot = st.agg(
+        F.sum("n_tok").cast("double").alias("t"),
+        F.sum(F.pow("n_tok", F.lit(0.3))).alias("wsum"),
+    )
+    win = Window.orderBy(F.desc("n_tok"), F.asc("source"))
+    return (
+        st.crossJoin(F.broadcast(tot))
+        .withColumn("size_rank", F.row_number().over(win).cast("long"))
+        .select(
+            "source",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "size_rank",
+            F.round(
+                F.lit(1e-9) + F.pow("n_tok", F.lit(0.3)) / F.col("wsum"), 6
+            ).alias("weight"),
+            F.round(
+                F.lit(1e-9)
+                + F.pow("n_tok", F.lit(0.3))
+                / F.col("wsum")
+                * F.col("t")
+                / F.col("n_tok"),
+                4,
+            ).alias("epochs_at_budget"),
+        )
+    )
+
+
+_BPE_K = 6  # merge rounds learned (fixture-sized; the loop is O(K) jobs)
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Chained-CTE DuckDB twin of the Lloyd-style BPE loop: round r
+    counts adjacent symbol pairs over the weighted vocab v{r}, b{r}
+    picks the (cnt DESC, pair ASC) winner, v{r+1} applies the merge
+    via the same padded literal replace Spark uses (leftmost
+    non-overlapping scan == greedy BPE in both engines)."""
+    parts = [
+        f"""wf AS (
+      SELECT w, count(*) AS c FROM ({_SQL_WORDS}) GROUP BY 1
+    ),
+    v0 AS (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, c FROM wf
+    )"""
+    ]
+    for r in range(k):
+        parts.append(
+            f"""p{r} AS (
+      SELECT a[i] || ' ' || a[i+1] AS pair, cast(sum(c) AS bigint) AS cnt
+      FROM (SELECT string_split(s, ' ') AS a, c FROM v{r}) t,
+           LATERAL (SELECT unnest(range(1, len(a))) AS i) u
+      GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"""b{r} AS (
+      SELECT cast({r + 1} AS bigint) AS step, pair, cnt
+      FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""v{r + 1} AS (
+      SELECT trim(replace(' ' || s || ' ',
+                          ' ' || (SELECT pair FROM b{r}) || ' ',
+                          ' ' || (SELECT replace(pair, ' ', '') FROM b{r})
+                              || ' ')) AS s, c
+      FROM v{r}
+    )"""
+        )
+        parts.append(
+            f"""sy{r} AS (
+      SELECT cast(sum(c * len(string_split(s, ' '))) AS bigint) AS n
+      FROM v{r + 1}
+    )"""
+        )
+    selects = [
+        f"""SELECT step, split_part(pair, ' ', 1) AS lhs,
+           split_part(pair, ' ', 2) AS rhs, cnt AS pair_cnt,
+           (SELECT n FROM sy{r}) AS corpus_symbols_after
+    FROM b{r}"""
+        for r in range(k)
+    ]
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@_q("bpe_train_merges", _bpe_oracle_sql(_BPE_K))
+def bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training: learn the first K=6 merge
+    rules over the corpus — the vocabulary-construction step of a
+    token pipeline. Round r counts adjacent symbol pairs weighted by
+    word frequency, picks the most frequent pair (ties broken by pair
+    string, so the result is partition-order independent), and applies
+    the merge to every vocab entry; the output is the merge table
+    itself (the model) plus the corpus-wide symbol count after each
+    merge — a strictly decreasing integer sequence that doubles as a
+    compression-progress invariant.
+
+    Scale shape (the reason BPE training is feasible at 100 TB): the
+    token stream collapses to the WEIGHTED VOCAB (distinct word,
+    count) in one map-side-combinable groupBy — the corpus is read
+    once; all K iterations run over the vocab table, orders of
+    magnitude smaller, and each iteration is one shuffle (pair
+    count) + one narrow map (padded literal replace, leftmost
+    non-overlapping == greedy BPE — semantics proven equal across
+    engines by the oracle hash). Per round the driver collects
+    exactly one row (the winning pair — it IS the model, the same
+    convention as calibrate.py's fixed-size fit collect) and one
+    scalar; the vocab is localCheckpoint-ed each round so lineage
+    stays flat instead of re-deriving r chained replaces per job."""
+    d = _t(spark, sf_dir, "documents")
+    wf = _words(d).groupBy("w").agg(F.count("*").alias("c"))
+    v = wf.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "c"
+    ).localCheckpoint()
+
+    rows = []
+    for r in range(_BPE_K):
+        a = F.split("s", " ")
+        pairs = v.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(a, 1, F.size(a) - 1),
+                    F.slice(a, 2, F.size(a) - 1),
+                    lambda l, rr: F.concat(l, F.lit(" "), rr),
+                )
+            ).alias("pair"),
+            "c",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        merged = pair.replace(" ", "")
+        v = v.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("s"),
+            "c",
+        ).localCheckpoint()
+        n_sym = int(
+            v.agg(
+                F.sum(F.col("c") * F.size(F.split("s", " "))).alias("n")
+            ).collect()[0]["n"]
+        )
+        lhs, rhs = pair.split(" ", 1)
+        rows.append((r + 1, lhs, rhs, cnt, n_sym))
+
+    return spark.createDataFrame(
+        rows,
+        "step long, lhs string, rhs string, pair_cnt long, "
+        "corpus_symbols_after long",
+    )
