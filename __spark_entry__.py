@@ -71,6 +71,10 @@ _HEAD = [
     "multimodal_resize_pixels",
     "retention_serving_union",
     "caggs_incremental_refresh",
+    "decontaminate_overlap",
+    "quality_lm_perplexity",
+    "source_mixture_weights",
+    "bpe_train_merges",
     # engine-path proofs + flagship family
     "gorilla_roundtrip",
     "token_roundtrip",
@@ -87,12 +91,14 @@ _HEAD = [
     "kernel_smooth_events",
     # LLM-pipeline operators
     "dedup_exact",
+]
+_TAIL = [
+    # driver-green in CORRECTNESS_r03.json, unchanged since, displaced
+    # by the curation batch-2 block above; rotate back next round
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "embedding_label_stats",
     "ann_topk_bruteforce",
-]
-_TAIL = [
     # all driver-green in CORRECTNESS_r03.json, unchanged since;
     # rotate back into _HEAD next round
     "ann_multiprobe",
