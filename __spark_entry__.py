@@ -75,27 +75,32 @@ _HEAD = [
     "quality_lm_perplexity",
     "source_mixture_weights",
     "bpe_train_merges",
+    "doc_repetition_ratio",
+    "shard_shuffle_assign",
+    "bpe_encode_tokens",
+    # plan changed this round (_shingles lost its DataFrame.distinct)
+    "dedup_ngram_jaccard",
     # engine-path proofs + flagship family
     "gorilla_roundtrip",
     "token_roundtrip",
     "enkf_assimilate_events",
     "streaming_rollup_hourly",
     "streaming_sessionize",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "rollup_hourly_salted",
     "gapfill_dose_response",
     "gapfill_wang_engels",
     "gapfill_asymptotic_daily",
     "lut_inversion_topk",
-    "kernel_smooth_events",
     # LLM-pipeline operators
     "dedup_exact",
 ]
 _TAIL = [
     # driver-green in CORRECTNESS_r03.json, unchanged since, displaced
-    # by the curation batch-2 block above; rotate back next round
-    "dedup_ngram_jaccard",
+    # by the curation batch-3 block above; rotate back next round
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "rollup_hourly_salted",
+    "kernel_smooth_events",
+    # displaced by the curation batch-2 block; rotate back next round
     "dedup_embedding_cosine",
     "embedding_label_stats",
     "ann_topk_bruteforce",

@@ -269,7 +269,12 @@ def dedup_exact(spark, sf_dir):
 
 
 def _shingles(d: DataFrame) -> DataFrame:
-    """(doc_id, sh): distinct 3-word shingles per doc."""
+    """(doc_id, sh): distinct 3-word shingles per doc.
+
+    Distinctness is PER DOC, so it is enforced in-row with
+    array_distinct before the explode — a narrow map. (An earlier
+    version used DataFrame.distinct(), which hash-exchanged the whole
+    shingle stream for a property each row already has locally.)"""
     ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ws) - 3, F.lit(-1))),
@@ -279,8 +284,7 @@ def _shingles(d: DataFrame) -> DataFrame:
     )
     return (
         d.filter(F.size(ws) >= 3)
-        .select("doc_id", F.explode(sh).alias("sh"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
     )
 
 
@@ -2175,19 +2179,22 @@ def pack_chunk_tokens(spark, sf_dir):
     f"""
     WITH sh AS ({_SQL_SHINGLES}),
     ev AS (
-      SELECT DISTINCT sh, doc_id AS eval_doc FROM sh WHERE doc_id % 97 = 0
+      SELECT sh, min(doc_id) AS eval_doc FROM sh WHERE doc_id % 97 = 0
+      GROUP BY 1
     ),
-    tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
-    tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
-    hits AS (
-      SELECT t.doc_id, count(DISTINCT t.sh) AS n_hits,
+    agg AS (
+      SELECT t.doc_id,
+             count(*) AS n_shingles,
+             count(e.eval_doc) AS n_hits,
              min(e.eval_doc) AS first_eval_doc
-      FROM tr t JOIN ev e USING (sh) GROUP BY 1
+      FROM sh t LEFT JOIN ev e USING (sh)
+      WHERE t.doc_id % 97 <> 0
+      GROUP BY 1
     )
-    SELECT h.doc_id, t.n_shingles, h.n_hits, h.first_eval_doc,
-           round(1e-9 + h.n_hits / cast(t.n_shingles AS double), 4)
+    SELECT doc_id, n_shingles, n_hits, first_eval_doc,
+           round(1e-9 + n_hits / cast(n_shingles AS double), 4)
              AS overlap_frac
-    FROM hits h JOIN tot t USING (doc_id)
+    FROM agg WHERE n_hits > 0
     """,
 )
 def decontaminate_overlap(spark, sf_dir):
@@ -2200,27 +2207,31 @@ def decontaminate_overlap(spark, sf_dir):
 
     Scale shape: the eval/benchmark side is ALWAYS tiny relative to
     the corpus (thousands of benchmark docs vs billions of training
-    docs), so its distinct shingle set is broadcast — the corpus-side
-    shingle stream never shuffles for the probe; the only exchange is
-    the per-doc count aggregation. All outputs are exact integers
-    plus one single-division ratio."""
+    docs), so it is collapsed to one row per shingle (min eval_doc —
+    deterministic witness) and BROADCAST; the corpus-side shingle
+    stream is scanned ONCE and never shuffles for the probe (the 1:1
+    left join keeps per-doc shingle counts exact) — the only exchange
+    is the per-doc aggregation. All outputs are exact integers plus
+    one single-division ratio. first_eval_doc is min over matched
+    shingles' per-shingle min eval doc — identical to min over all
+    matching (shingle, eval_doc) pairs."""
     sh = _shingles(_t(spark, sf_dir, "documents"))
     ev = (
         sh.filter(F.col("doc_id") % 97 == 0)
-        .select("sh", F.col("doc_id").alias("eval_doc"))
-        .distinct()
+        .groupBy("sh")
+        .agg(F.min("doc_id").alias("eval_doc"))
     )
-    tr = sh.filter(F.col("doc_id") % 97 != 0)
-    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        tr.join(F.broadcast(ev), "sh")
+    agg = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "sh", "left")
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("sh").alias("n_hits"),
+            F.count("*").alias("n_shingles"),
+            F.count("eval_doc").alias("n_hits"),
             F.min("eval_doc").alias("first_eval_doc"),
         )
     )
-    return hits.join(tot, "doc_id").select(
+    return agg.filter(F.col("n_hits") > 0).select(
         "doc_id",
         "n_shingles",
         "n_hits",
@@ -2390,23 +2401,30 @@ def source_mixture_weights(spark, sf_dir):
 _BPE_K = 6  # merge rounds learned (fixture-sized; the loop is O(K) jobs)
 
 
-def _bpe_oracle_sql(k: int) -> str:
-    """Chained-CTE DuckDB twin of the Lloyd-style BPE loop: round r
-    counts adjacent symbol pairs over the weighted vocab v{r}, b{r}
-    picks the (cnt DESC, pair ASC) winner, v{r+1} applies the merge
-    via the same padded literal replace Spark uses (leftmost
-    non-overlapping scan == greedy BPE in both engines)."""
+def _bpe_ctes(k: int, carry_w: bool = False) -> str:
+    """CTE chain (no WITH, no final select) of the DuckDB twin of the
+    Lloyd-style BPE loop: round r counts adjacent symbol pairs over
+    the weighted vocab v{r}, b{r} picks the (cnt DESC, pair ASC)
+    winner, v{r+1} applies the merge via the same padded literal
+    replace Spark uses (leftmost non-overlapping scan == greedy BPE
+    in both engines).
+
+    carry_w=True threads the original word through every vocab CTE so
+    a consumer (bpe_encode_tokens) can join the final segmentation
+    back to the token stream; the training math is untouched."""
+    wcol = "w, " if carry_w else ""
     parts = [
-        f"""wf AS (
+        f"""wf AS MATERIALIZED (
       SELECT w, count(*) AS c FROM ({_SQL_WORDS}) GROUP BY 1
     ),
-    v0 AS (
-      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, c FROM wf
+    v0 AS MATERIALIZED (
+      SELECT {wcol}trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, c
+      FROM wf
     )"""
     ]
     for r in range(k):
         parts.append(
-            f"""p{r} AS (
+            f"""p{r} AS MATERIALIZED (
       SELECT a[i] || ' ' || a[i+1] AS pair, cast(sum(c) AS bigint) AS cnt
       FROM (SELECT string_split(s, ' ') AS a, c FROM v{r}) t,
            LATERAL (SELECT unnest(range(1, len(a))) AS i) u
@@ -2414,14 +2432,14 @@ def _bpe_oracle_sql(k: int) -> str:
     )"""
         )
         parts.append(
-            f"""b{r} AS (
+            f"""b{r} AS MATERIALIZED (
       SELECT cast({r + 1} AS bigint) AS step, pair, cnt
       FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
     )"""
         )
         parts.append(
-            f"""v{r + 1} AS (
-      SELECT trim(replace(' ' || s || ' ',
+            f"""v{r + 1} AS MATERIALIZED (
+      SELECT {wcol}trim(replace(' ' || s || ' ',
                           ' ' || (SELECT pair FROM b{r}) || ' ',
                           ' ' || (SELECT replace(pair, ' ', '') FROM b{r})
                               || ' ')) AS s, c
@@ -2429,11 +2447,17 @@ def _bpe_oracle_sql(k: int) -> str:
     )"""
         )
         parts.append(
-            f"""sy{r} AS (
+            f"""sy{r} AS MATERIALIZED (
       SELECT cast(sum(c * len(string_split(s, ' '))) AS bigint) AS n
       FROM v{r + 1}
     )"""
         )
+    return ",\n    ".join(parts)
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Full training oracle: the CTE chain + one row per merge round
+    (the model) with the corpus symbol count after each merge."""
     selects = [
         f"""SELECT step, split_part(pair, ' ', 1) AS lhs,
            split_part(pair, ' ', 2) AS rhs, cnt AS pair_cnt,
@@ -2441,7 +2465,9 @@ def _bpe_oracle_sql(k: int) -> str:
     FROM b{r}"""
         for r in range(k)
     ]
-    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+    return (
+        "WITH " + _bpe_ctes(k) + "\n    " + "\n    UNION ALL ".join(selects)
+    )
 
 
 @_q("bpe_train_merges", _bpe_oracle_sql(_BPE_K))
@@ -2468,14 +2494,29 @@ def bpe_train_merges(spark, sf_dir):
     convention as calibrate.py's fixed-size fit collect) and one
     scalar; the vocab is localCheckpoint-ed each round so lineage
     stays flat instead of re-deriving r chained replaces per job."""
+    _, rows = _bpe_chain(spark, sf_dir, _BPE_K, with_stats=True)
+    return spark.createDataFrame(
+        rows,
+        "step long, lhs string, rhs string, pair_cnt long, "
+        "corpus_symbols_after long",
+    )
+
+
+def _bpe_chain(spark, sf_dir, k, carry_w=False, with_stats=False):
+    """Run the K-round BPE merge loop over the weighted vocab; return
+    (final vocab DataFrame, per-round stats rows). carry_w keeps the
+    original word alongside its evolving segmentation (the encode
+    path); with_stats runs the per-round corpus-symbol count job
+    (the training path — skipped for encode, saving K agg jobs)."""
     d = _t(spark, sf_dir, "documents")
     wf = _words(d).groupBy("w").agg(F.count("*").alias("c"))
+    cols = ["w"] if carry_w else []
     v = wf.select(
-        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "c"
+        *cols, F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "c"
     ).localCheckpoint()
 
     rows = []
-    for r in range(_BPE_K):
+    for r in range(k):
         a = F.split("s", " ")
         pairs = v.select(
             F.explode(
@@ -2499,6 +2540,7 @@ def bpe_train_merges(spark, sf_dir):
         pair, cnt = best[0]["pair"], int(best[0]["cnt"])
         merged = pair.replace(" ", "")
         v = v.select(
+            *cols,
             F.trim(
                 F.replace(
                     F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
@@ -2508,16 +2550,195 @@ def bpe_train_merges(spark, sf_dir):
             ).alias("s"),
             "c",
         ).localCheckpoint()
-        n_sym = int(
-            v.agg(
-                F.sum(F.col("c") * F.size(F.split("s", " "))).alias("n")
-            ).collect()[0]["n"]
-        )
-        lhs, rhs = pair.split(" ", 1)
-        rows.append((r + 1, lhs, rhs, cnt, n_sym))
+        if with_stats:
+            n_sym = int(
+                v.agg(
+                    F.sum(F.col("c") * F.size(F.split("s", " "))).alias("n")
+                ).collect()[0]["n"]
+            )
+            lhs, rhs = pair.split(" ", 1)
+            rows.append((r + 1, lhs, rhs, cnt, n_sym))
 
-    return spark.createDataFrame(
-        rows,
-        "step long, lhs string, rhs string, pair_cnt long, "
-        "corpus_symbols_after long",
+    return v, rows
+
+
+# =====================================================================
+# Curation batch 3: repetition filter, epoch shard shuffle, BPE encode
+# =====================================================================
+
+
+@_q(
+    "doc_repetition_ratio",
+    r"""
+    SELECT doc_id,
+           cast(len(ws) AS bigint) AS n_words,
+           cast(len(sh) AS bigint) AS n_shingles,
+           cast(len(list_distinct(sh)) AS bigint) AS n_shingles_distinct,
+           round(1e-9 + 1.0 - len(list_distinct(ws)) / cast(len(ws) AS double),
+                 4) AS dup_word_frac,
+           round(1e-9 + 1.0 - len(list_distinct(sh)) / cast(len(sh) AS double),
+                 4) AS dup_shingle_frac
+    FROM (
+      SELECT doc_id, ws,
+             list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+               AS sh
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents)
+      WHERE len(ws) >= 3
+    )
+    """,
+)
+def doc_repetition_ratio(spark, sf_dir):
+    """Gopher-style intra-document repetition filter: the fraction of
+    duplicated words and duplicated 3-word shingles per doc (Rae et
+    al. 2021 drop docs whose repeated-n-gram fraction is high —
+    boilerplate, keyword stuffing, decoding loops).
+
+    Scale shape: a PURE NARROW MAP — the shingle list, its distinct
+    count, and both ratios are computed inside the row with
+    higher-order array functions; no explode reaches the plan, no
+    exchange at any width. At 100 TB this runs at scan speed. All
+    counts are exact integers; the two ratios are single divisions
+    under the repo's round(1e-9 + x, 4) convention."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.get("ws", i),
+            F.get("ws", i + 1),
+            F.get("ws", i + 2),
+        ),
+    )
+    wide = base.select("doc_id", "ws", sh.alias("sh"))
+    frac = lambda col: F.round(  # noqa: E731
+        F.lit(1e-9)
+        + 1.0
+        - F.size(F.array_distinct(col)) / F.size(col).cast("double"),
+        4,
+    )
+    return wide.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size("sh").cast("long").alias("n_shingles"),
+        F.size(F.array_distinct("sh")).cast("long").alias("n_shingles_distinct"),
+        frac("ws").alias("dup_word_frac"),
+        frac("sh").alias("dup_shingle_frac"),
+    )
+
+
+_N_SHARDS = 32
+
+
+@_q(
+    "shard_shuffle_assign",
+    f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             {_SQL_H.format(x="'shard:e0:' || doc_id::VARCHAR")} AS h_shuffle
+      FROM documents
+    )
+    SELECT doc_id, h_shuffle,
+           h_shuffle % {_N_SHARDS} AS shard,
+           cast(row_number() OVER w AS bigint) AS pos_in_shard,
+           cast(sum(n_chars) OVER w AS bigint) AS cum_chars
+    FROM h
+    WINDOW w AS (PARTITION BY h_shuffle % {_N_SHARDS}
+                 ORDER BY h_shuffle, doc_id)
+    """,
+)
+def shard_shuffle_assign(spark, sf_dir):
+    """Deterministic epoch shuffle + shard assignment: the dataloader
+    step that fixes global data order for a training run. Each doc
+    gets a 60-bit keyed hash (salt = epoch tag 'e0'), the hash mod
+    N_SHARDS picks its output shard, and its position + cumulative
+    byte budget within the shard follow the hash order — fully
+    reproducible across runs/cluster sizes, re-shuffled by changing
+    the epoch salt.
+
+    Scale shape: NO global sort (the naive design — row_number over a
+    global hash order — funnels 10^12 rows through one partition).
+    The only exchange is the hash-partition by shard; position and
+    cumulative budget are per-shard window scans, and shards are
+    balanced by construction (uniform 60-bit hash). All outputs are
+    exact integers."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "n_chars",
+        _h(F.concat(F.lit("shard:e0:"), F.col("doc_id").cast("string"))).alias(
+            "h_shuffle"
+        ),
+    )
+    w = (
+        Window.partitionBy(F.col("h_shuffle") % _N_SHARDS)
+        .orderBy("h_shuffle", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return h.select(
+        "doc_id",
+        "h_shuffle",
+        (F.col("h_shuffle") % _N_SHARDS).alias("shard"),
+        F.row_number()
+        .over(
+            Window.partitionBy(F.col("h_shuffle") % _N_SHARDS).orderBy(
+                "h_shuffle", "doc_id"
+            )
+        )
+        .cast("long")
+        .alias("pos_in_shard"),
+        F.sum("n_chars").over(w).cast("long").alias("cum_chars"),
+    )
+
+
+@_q("bpe_encode_tokens", "WITH " + _bpe_ctes(_BPE_K, carry_w=True) + f""",
+    enc AS (
+      SELECT w, len(string_split(s, ' ')) AS n_sym FROM v{_BPE_K}
+    )
+    SELECT doc_id,
+           cast(count(*) AS bigint) AS n_words,
+           cast(sum(e.n_sym) AS bigint) AS n_symbols,
+           cast(sum(length(w)) AS bigint) AS n_chars,
+           round(1e-9 + sum(e.n_sym) / cast(sum(length(w)) AS double), 4)
+             AS symbols_per_char
+    FROM ({_SQL_WORDS}) words JOIN enc e USING (w)
+    GROUP BY 1
+    """)
+def bpe_encode_tokens(spark, sf_dir):
+    """Tokenizer APPLICATION: encode every document with the K=6
+    merge rules learned by bpe_train_merges and report per-doc
+    symbol counts + compression (symbols per char) — the other half
+    of the tokenizer lifecycle (train once, encode the corpus). The
+    query is self-contained (trains, then encodes) so the DuckDB
+    oracle can replay the whole chain; a production run would load
+    the stored merge table instead.
+
+    Scale shape: merges are applied to the DISTINCT WEIGHTED VOCAB
+    (the _bpe_chain path — corpus read once, K narrow replaces over
+    the vocab table, per-round stats jobs skipped), and the encoded
+    segmentation rejoins the (doc, word) stream by word — a plain
+    shuffle join, NOT a broadcast, because at 100 TB the vocab is
+    billions of rows (the quality_lm_perplexity convention). Outputs
+    are exact integers plus one division."""
+    v, _ = _bpe_chain(spark, sf_dir, _BPE_K, carry_w=True)
+    enc = v.select("w", F.size(F.split("s", " ")).alias("n_sym"))
+    words = _words(_t(spark, sf_dir, "documents"))
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_symbols"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum("n_sym") / F.sum(F.length("w")).cast("double"),
+                4,
+            ).alias("symbols_per_char"),
+        )
     )

@@ -129,3 +129,74 @@ def test_bpe_partition_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+# ------------------------------------------------------------------
+# Curation batch 3: repetition filter, epoch shard shuffle, BPE encode
+# ------------------------------------------------------------------
+
+
+def test_repetition_ratio_bounds_and_counts(spark):
+    rows = QUERIES["doc_repetition_ratio"]["fn"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == docs  # every fixture doc has >= 3 words
+    for r in rows:
+        assert r["n_shingles"] == r["n_words"] - 2
+        assert 1 <= r["n_shingles_distinct"] <= r["n_shingles"]
+        assert 0.0 <= r["dup_word_frac"] < 1.0
+        assert 0.0 <= r["dup_shingle_frac"] < 1.0
+        # a doc cannot repeat shingles without repeating words
+        if r["dup_shingle_frac"] > 0:
+            assert r["dup_word_frac"] > 0
+
+
+def test_shard_shuffle_deterministic_balanced_contiguous(spark):
+    from sentinel2_crop_trait_timeseries_spark.catalog_docs import _N_SHARDS
+
+    fn = QUERIES["shard_shuffle_assign"]["fn"]
+    a = sorted(fn(spark, SF).collect(), key=lambda r: r["doc_id"])
+    b = sorted(fn(spark, SF).collect(), key=lambda r: r["doc_id"])
+    assert a == b  # same epoch salt -> bit-identical assignment
+
+    by_shard = {}
+    for r in a:
+        assert r["shard"] == r["h_shuffle"] % _N_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r)
+    sizes = [len(v) for v in by_shard.values()]
+    mean = len(a) / _N_SHARDS
+    assert len(by_shard) == _N_SHARDS and max(sizes) <= 3 * mean
+    for members in by_shard.values():
+        members.sort(key=lambda r: (r["h_shuffle"], r["doc_id"]))
+        cum = 0
+        for i, r in enumerate(members):
+            cum += _doc_chars(spark, SF)[r["doc_id"]]
+            assert r["pos_in_shard"] == i + 1
+            assert r["cum_chars"] == cum
+
+
+_CHARS_CACHE = {}
+
+
+def _doc_chars(spark, sf):
+    if sf not in _CHARS_CACHE:
+        _CHARS_CACHE[sf] = {
+            r["doc_id"]: r["n_chars"]
+            for r in spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "n_chars")
+            .collect()
+        }
+    return _CHARS_CACHE[sf]
+
+
+def test_bpe_encode_consistent_with_training(spark):
+    """Word-weighted symbol totals of the ENCODE pass must equal the
+    training query's corpus_symbols_after at the final merge step —
+    the two halves of the tokenizer lifecycle agree exactly."""
+    enc = QUERIES["bpe_encode_tokens"]["fn"](spark, SF).collect()
+    train = QUERIES["bpe_train_merges"]["fn"](spark, SF).collect()
+    assert len(train) == _BPE_K
+    final_syms = max(train, key=lambda r: r["step"])["corpus_symbols_after"]
+    assert sum(r["n_symbols"] for r in enc) == final_syms
+    for r in enc:
+        assert r["n_words"] <= r["n_symbols"] <= r["n_chars"]
+        assert 0.0 < r["symbols_per_char"] <= 1.0

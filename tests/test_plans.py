@@ -193,3 +193,24 @@ def test_kernel_smooth_banded_equijoin(spark):
     plan = _executed(spark, "kernel_smooth_events")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_ratio_is_narrow_map(spark):
+    """The Gopher repetition filter must stay a pure narrow map: all
+    shingle/distinct math happens in-row via higher-order functions —
+    no Exchange, no Generate (explode) anywhere in the plan."""
+    plan = _executed(spark, "doc_repetition_ratio")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_decontaminate_probe_is_broadcast_single_exchange(spark):
+    """Corpus-side shingle stream never shuffles for the eval probe:
+    one BroadcastHashJoin (tiny eval side) + exactly one Exchange
+    (the per-doc aggregation)."""
+    plan = _executed(spark, "decontaminate_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # eval-side distinct agg exchanges are broadcast-side and tiny; the
+    # corpus stream itself must reach its groupBy through ONE exchange
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
