@@ -73,6 +73,16 @@ HEADLINE = [
     # late-r4: retention-policy serving view + invalidation refresh
     "retention_serving_union",
     "caggs_incremental_refresh",
+    # late-r4 curation batches 2+3: decontamination probe, unigram-LM
+    # scoring, BPE train + encode, sequence packing, repetition filter,
+    # epoch shard shuffle
+    "decontaminate_overlap",
+    "quality_lm_perplexity",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "pack_chunks_manifest",
+    "doc_repetition_ratio",
+    "shard_shuffle_assign",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average
