@@ -80,6 +80,7 @@ _HEAD = [
     "bpe_encode_tokens",
     # plan changed this round (_shingles lost its DataFrame.distinct)
     "dedup_ngram_jaccard",
+    "dedup_span_exact",
     # engine-path proofs + flagship family
     "gorilla_roundtrip",
     "token_roundtrip",
@@ -89,7 +90,6 @@ _HEAD = [
     "gapfill_dose_response",
     "gapfill_wang_engels",
     "gapfill_asymptotic_daily",
-    "lut_inversion_topk",
     # LLM-pipeline operators
     "dedup_exact",
 ]
@@ -100,6 +100,7 @@ _TAIL = [
     "multimodal_frame_sample",
     "rollup_hourly_salted",
     "kernel_smooth_events",
+    "lut_inversion_topk",
     # displaced by the curation batch-2 block; rotate back next round
     "dedup_embedding_cosine",
     "embedding_label_stats",

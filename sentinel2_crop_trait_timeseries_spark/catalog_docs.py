@@ -2673,7 +2673,10 @@ def shard_shuffle_assign(spark, sf_dir):
     The only exchange is the hash-partition by shard; position and
     cumulative budget are per-shard window scans, and shards are
     balanced by construction (uniform 60-bit hash). All outputs are
-    exact integers."""
+    exact integers. _N_SHARDS is the scale knob: each shard is one
+    sorted window partition, so shard count must grow with the corpus
+    (10^12 sequences -> ~10^5 shards keeps a shard at ~10^7 rows,
+    dataloader-file-sized); 32 is fixture-sized."""
     d = _t(spark, sf_dir, "documents")
     h = d.select(
         "doc_id",
@@ -2748,4 +2751,75 @@ def bpe_encode_tokens(spark, sf_dir):
                 4,
             ).alias("symbols_per_char"),
         )
+    )
+
+
+_SPAN_W = 8  # words per non-overlapping span block
+
+
+@_q(
+    "dedup_span_exact",
+    f"""
+    WITH spans AS (
+      SELECT doc_id,
+             md5(array_to_string(ws[b * {_SPAN_W} + 1 : b * {_SPAN_W} + {_SPAN_W}],
+                                 ' ')) AS h
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(range(0, cast(ceil(len(ws) / {_SPAN_W}.0)
+                                                AS bigint))) AS b) t
+      WHERE len(ws) >= 1
+    ),
+    occ AS (
+      SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS n_occ
+      FROM spans
+    )
+    SELECT doc_id,
+           cast(count(*) AS bigint) AS n_spans,
+           cast(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS bigint)
+             AS n_dup_spans,
+           round(1e-9 + sum(CASE WHEN n_occ > 1 THEN 1.0 ELSE 0.0 END)
+                 / count(*), 4) AS dup_span_frac
+    FROM occ GROUP BY 1
+    """,
+)
+def dedup_span_exact(spark, sf_dir):
+    """Exact substring-level dedup at span granularity (Lee et al.
+    2022, 'Deduplicating Training Data Makes Language Models Better',
+    ExactSubstr; C4's duplicated-span removal): each doc is cut into
+    non-overlapping 8-word blocks, block hashes are counted CORPUS-
+    WIDE, and every doc reports how much of it is duplicated text
+    anywhere in the corpus (including within itself) — the signal the
+    curation step uses to cut boilerplate regions rather than whole
+    docs.
+
+    Scale shape: spans carry a fixed 32-byte md5, never the text; the
+    corpus-wide occurrence count is ONE window over the span-hash
+    partitioning (equivalently groupBy+join, but a single exchange),
+    and the per-doc rollup is the second. Both shuffles are
+    md5-uniform — no skew. Exact integers + one division."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 1)
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size("ws") / _SPAN_W).cast("long") - 1),
+        lambda b: F.md5(
+            F.concat_ws(" ", F.slice("ws", b * _SPAN_W + 1, _SPAN_W)).cast(
+                "binary"
+            )
+        ),
+    )
+    spans = base.select("doc_id", F.explode(spans_arr).alias("h"))
+    occ = spans.withColumn(
+        "n_occ", F.count("*").over(Window.partitionBy("h"))
+    )
+    dup = F.when(F.col("n_occ") > 1, F.lit(1)).otherwise(F.lit(0))
+    return occ.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(dup).cast("long").alias("n_dup_spans"),
+        F.round(F.lit(1e-9) + F.sum(dup) / F.count("*"), 4).alias(
+            "dup_span_frac"
+        ),
     )

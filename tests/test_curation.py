@@ -200,3 +200,35 @@ def test_bpe_encode_consistent_with_training(spark):
     for r in enc:
         assert r["n_words"] <= r["n_symbols"] <= r["n_chars"]
         assert 0.0 < r["symbols_per_char"] <= 1.0
+
+
+def test_span_dedup_flags_both_copies_and_self_repeats(spark):
+    """Corpus-wide span counting must flag EVERY copy of a duplicated
+    span (not n-1 of them), and a span repeated within one doc counts
+    too. Cross-checked against a pandas recount of the same blocks."""
+    import hashlib
+    from collections import Counter
+
+    rows = QUERIES["dedup_span_exact"]["fn"](spark, SF).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+
+    spans_by_doc, counts = {}, Counter()
+    for doc_id, text in docs.items():
+        ws = [w for w in text.split() if w]
+        blocks = [
+            hashlib.md5(" ".join(ws[b * 8 : b * 8 + 8]).encode()).hexdigest()
+            for b in range((len(ws) + 7) // 8)
+        ]
+        spans_by_doc[doc_id] = blocks
+        counts.update(blocks)
+
+    for r in rows:
+        blocks = spans_by_doc[r["doc_id"]]
+        assert r["n_spans"] == len(blocks)
+        expect_dup = sum(1 for h in blocks if counts[h] > 1)
+        assert r["n_dup_spans"] == expect_dup
+        assert 0.0 <= r["dup_span_frac"] <= 1.0
