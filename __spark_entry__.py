@@ -30,11 +30,15 @@ from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES  # noqa: E402
 # driver-verified) + everything changed or added this round (fixed-point
 # k-means pair, seed-escape fit pair, capped dedup pair, streaming
 # daily/weekly cascades, PQ/IVF+PQ, components, streaming dedup probe,
-# retention views, sequence packing, vocab coverage) + engine-path
-# proofs and LLM-pipeline operators. Rotated out to _TAIL: 24
-# relational/docs queries that are driver-green in CORRECTNESS_r03.json
-# and unchanged since; every _TAIL entry is oracle-checked at sf0.001
-# by tests/test_tail_contract.py each CI run.
+# retention views, sequence packing, vocab coverage, curation batches
+# 2+3: decontamination / unigram-LM / mixture weights / BPE train+encode
+# / repetition ratio / shard shuffle / span dedup, plus
+# dedup_ngram_jaccard whose plan changed with the _shingles rewrite)
+# + engine-path proofs and LLM-pipeline operators. Rotated out to
+# _TAIL: 33 relational/docs/engine queries that are driver-green in
+# CORRECTNESS_r03.json (or locally oracle-verified) and unchanged
+# since; every _TAIL entry is oracle-checked at sf0.001 by
+# tests/test_tail_contract.py each CI run.
 _WINDOW = 50
 _HEAD = [
     # never driver-verified before (r3 _TAIL) — must land in-window

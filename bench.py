@@ -83,6 +83,7 @@ HEADLINE = [
     "pack_chunks_manifest",
     "doc_repetition_ratio",
     "shard_shuffle_assign",
+    "dedup_span_exact",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

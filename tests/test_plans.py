@@ -214,3 +214,12 @@ def test_decontaminate_probe_is_broadcast_single_exchange(spark):
     # eval-side distinct agg exchanges are broadcast-side and tiny; the
     # corpus stream itself must reach its groupBy through ONE exchange
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
+
+
+def test_span_dedup_two_exchanges_no_join(spark):
+    """Corpus-wide span occurrence counting is ONE window over the
+    hash partitioning + the per-doc rollup — no self-join of the span
+    stream, exactly two hash exchanges."""
+    plan = _executed(spark, "dedup_span_exact")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
