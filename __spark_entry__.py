@@ -85,6 +85,7 @@ _HEAD = [
     # plan changed this round (_shingles lost its DataFrame.distinct)
     "dedup_ngram_jaccard",
     "dedup_span_exact",
+    "quality_decile_thresholds",
     # engine-path proofs + flagship family
     "gorilla_roundtrip",
     "token_roundtrip",
@@ -93,7 +94,6 @@ _HEAD = [
     "streaming_sessionize",
     "gapfill_dose_response",
     "gapfill_wang_engels",
-    "gapfill_asymptotic_daily",
     # LLM-pipeline operators
     "dedup_exact",
 ]
@@ -105,6 +105,7 @@ _TAIL = [
     "rollup_hourly_salted",
     "kernel_smooth_events",
     "lut_inversion_topk",
+    "gapfill_asymptotic_daily",
     # displaced by the curation batch-2 block; rotate back next round
     "dedup_embedding_cosine",
     "embedding_label_stats",

@@ -84,6 +84,7 @@ HEADLINE = [
     "doc_repetition_ratio",
     "shard_shuffle_assign",
     "dedup_span_exact",
+    "quality_decile_thresholds",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -2823,3 +2823,79 @@ def dedup_span_exact(spark, sf_dir):
             "dup_span_frac"
         ),
     )
+
+
+@_q(
+    "quality_decile_thresholds",
+    f"""
+    WITH scores AS ({_REGISTRY["quality_lm_perplexity"]["sql"]}),
+    hist AS (
+      SELECT bits_per_token AS score,
+             cast(count(*) AS bigint) AS n_docs,
+             cast(sum(n_tok) AS bigint) AS n_tok
+      FROM scores GROUP BY 1
+    ),
+    cum AS (
+      SELECT score,
+             sum(n_docs) OVER (ORDER BY score) AS cum_docs,
+             sum(n_tok) OVER (ORDER BY score) AS cum_tok,
+             sum(n_docs) OVER () AS total_docs
+      FROM hist
+    ),
+    spine AS (SELECT unnest(range(1, 11)) AS decile)
+    SELECT cast(decile AS bigint) AS decile,
+           min(score) AS threshold,
+           cast(min(cum_docs) AS bigint) AS cum_docs,
+           cast(min(cum_tok) AS bigint) AS cum_tok
+    FROM spine JOIN cum
+      ON cum.cum_docs >= (decile * cum.total_docs + 9) // 10
+    GROUP BY 1
+    """,
+)
+def quality_decile_thresholds(spark, sf_dir):
+    """EXACT decile thresholds of the LM quality score — the cutoffs a
+    perplexity-bucket filter actually ships (CCNet keeps/weights docs
+    by LM-score tercile). percentile_approx is the usual answer at
+    scale but is sketch-dependent and engine-divergent; this is the
+    bounded-grid histogram pattern instead: scores live on the 4-dp
+    round grid, so groupBy(score) collapses 10^12 docs to a histogram
+    whose cardinality is bounded by the GRID (~1e5 buckets max), the
+    cumulative scan runs over that tiny table (the single-partition
+    window is fine BECAUSE the cardinality is grid-bounded, not
+    data-bounded), and decile d's threshold is the smallest score
+    whose cumulative count reaches ceil(d * total / 10) — exact
+    integer arithmetic, order-independent, engine-identical.
+
+    Composes quality_lm_perplexity the way ann_recall composes the
+    ANN queries: the oracle replays the scoring query's own SQL."""
+    q = _REGISTRY["quality_lm_perplexity"]["fn"](spark, sf_dir)
+    hist = q.groupBy(F.col("bits_per_token").alias("score")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tok"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "score",
+        F.sum("n_docs").over(w).alias("cum_docs"),
+        F.sum("n_tok").over(w).alias("cum_tok"),
+        F.sum("n_docs").over(wall).alias("total_docs"),
+    )
+    spine = spark.range(1, 11).select(F.col("id").alias("decile"))
+    target = (F.col("decile") * F.col("total_docs") + F.lit(9)) / F.lit(10)
+    return (
+        cum.join(
+            F.broadcast(spine),
+            F.col("cum_docs") >= F.floor(target),
+        )
+        .groupBy("decile")
+        .agg(
+            F.min("score").alias("threshold"),
+            F.min("cum_docs").alias("cum_docs"),
+            F.min("cum_tok").alias("cum_tok"),
+        )
+    )

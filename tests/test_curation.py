@@ -232,3 +232,31 @@ def test_span_dedup_flags_both_copies_and_self_repeats(spark):
         expect_dup = sum(1 for h in blocks if counts[h] > 1)
         assert r["n_dup_spans"] == expect_dup
         assert 0.0 <= r["dup_span_frac"] <= 1.0
+
+
+def test_quality_deciles_exact_against_recount(spark):
+    """Decile thresholds recomputed naively from the collected scores
+    must agree exactly: threshold d = smallest score whose cumulative
+    doc count reaches ceil(d * n / 10)."""
+    import math
+
+    scores = sorted(
+        r["bits_per_token"]
+        for r in QUERIES["quality_lm_perplexity"]["fn"](spark, SF).collect()
+    )
+    n = len(scores)
+    rows = sorted(
+        QUERIES["quality_decile_thresholds"]["fn"](spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    prev = None
+    for r in rows:
+        target = math.ceil(r["decile"] * n / 10)
+        assert r["threshold"] == scores[target - 1]
+        assert r["cum_docs"] == sum(1 for s in scores if s <= r["threshold"])
+        if prev is not None:
+            assert r["threshold"] >= prev["threshold"]
+            assert r["cum_docs"] >= prev["cum_docs"]
+        prev = r
+    assert rows[-1]["cum_docs"] == n
