@@ -86,10 +86,10 @@ _HEAD = [
     "dedup_ngram_jaccard",
     "dedup_span_exact",
     "quality_decile_thresholds",
+    "tfidf_top_terms",
     # engine-path proofs + flagship family
     "gorilla_roundtrip",
     "token_roundtrip",
-    "enkf_assimilate_events",
     "streaming_rollup_hourly",
     "streaming_sessionize",
     "gapfill_dose_response",
@@ -106,6 +106,7 @@ _TAIL = [
     "kernel_smooth_events",
     "lut_inversion_topk",
     "gapfill_asymptotic_daily",
+    "enkf_assimilate_events",
     # displaced by the curation batch-2 block; rotate back next round
     "dedup_embedding_cosine",
     "embedding_label_stats",

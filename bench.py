@@ -85,6 +85,7 @@ HEADLINE = [
     "shard_shuffle_assign",
     "dedup_span_exact",
     "quality_decile_thresholds",
+    "tfidf_top_terms",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

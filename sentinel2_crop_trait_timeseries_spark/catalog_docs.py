@@ -2899,3 +2899,86 @@ def quality_decile_thresholds(spark, sf_dir):
             F.min("cum_tok").alias("cum_tok"),
         )
     )
+
+
+@_q(
+    "tfidf_top_terms",
+    f"""
+    WITH words AS ({_SQL_WORDS}),
+    dw AS (
+      SELECT doc_id, w, cast(count(*) AS bigint) AS n_dw
+      FROM words GROUP BY 1, 2
+    ),
+    dfw AS (SELECT w, cast(count(*) AS bigint) AS df FROM dw GROUP BY 1),
+    nd AS (SELECT cast(count(DISTINCT doc_id) AS double) AS n FROM words),
+    scored AS (
+      SELECT dw.doc_id, dw.w, dw.n_dw, dfw.df,
+             dw.n_dw * ln(nd.n / dfw.df) AS score
+      FROM dw JOIN dfw USING (w), nd
+    ),
+    ranked AS (
+      SELECT doc_id, w, n_dw, df,
+             round(1e-9 + score, 4) AS tfidf,
+             cast(row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(1e-9 + score, 2) DESC, n_dw DESC, df ASC, w ASC
+             ) AS bigint) AS rank
+      FROM scored
+    )
+    SELECT doc_id, w AS term, n_dw, df, tfidf, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the feature extraction
+    behind classifier-based quality filtering (a la GPT-3's
+    quality classifier) and topic-mixture audits.
+
+    Determinism across engines: the ranking key is the score SNAPPED
+    TO 2 DP with exact-integer tiebreaks (n_dw DESC, df ASC, term ASC)
+    — a 1-ulp libm ln() disagreement between Spark and DuckDB cannot
+    reorder terms unless it crosses a 5e-3 boundary (~1e-12 odds),
+    unlike ranking on the raw float, where ordering inherits full ulp
+    sensitivity (the k-means argmin lesson applied to window ranks).
+    The displayed score uses the standard round(1e-9 + x, 4).
+
+    Scale shape: token stream collapses to (doc, word) counts before
+    anything joins (the quality_lm convention); document frequencies
+    join back by word — a plain shuffle join, vocab is NOT
+    broadcastable at 100 TB; the corpus doc count rides in as a
+    broadcast scalar; per-doc top-3 is a keyed window, no global
+    sort."""
+    d = _t(spark, sf_dir, "documents")
+    w = _words(d)
+    dw = w.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("n_dw"))
+    dfw = dw.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    nd = w.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    scored = (
+        dw.join(dfw, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            "n_dw",
+            "df",
+            (F.col("n_dw") * F.log(F.col("n") / F.col("df"))).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.round(F.lit(1e-9) + F.col("score"), 2).desc(),
+        F.col("n_dw").desc(),
+        F.col("df").asc(),
+        F.col("w").asc(),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "n_dw",
+            "df",
+            F.round(F.lit(1e-9) + F.col("score"), 4).alias("tfidf"),
+            "rank",
+        )
+    )

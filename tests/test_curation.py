@@ -260,3 +260,47 @@ def test_quality_deciles_exact_against_recount(spark):
             assert r["cum_docs"] >= prev["cum_docs"]
         prev = r
     assert rows[-1]["cum_docs"] == n
+
+
+def test_tfidf_top_terms_against_recount(spark):
+    """Recompute TF-IDF naively from the raw text and check the
+    query's top-3 per doc matches under the same (2-dp score, n_dw,
+    df, term) ordering; stopword-like max-df terms never outrank a
+    rarer same-count term."""
+    import math
+    from collections import Counter, defaultdict
+
+    docs = {
+        r["doc_id"]: [w for w in r["text"].split() if w]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    n = float(len(docs))
+    df = Counter()
+    for ws in docs.values():
+        df.update(set(ws))
+
+    rows = QUERIES["tfidf_top_terms"]["fn"](spark, SF).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    assert len(by_doc) == len(docs)
+
+    for doc_id, got in by_doc.items():
+        got.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+        cnt = Counter(docs[doc_id])
+        scored = sorted(
+            (
+                (
+                    -round(1e-9 + c * math.log(n / df[w]), 2),
+                    -c,
+                    df[w],
+                    w,
+                )
+                for w, c in cnt.items()
+            )
+        )[:3]
+        assert [s[3] for s in scored] == [r["term"] for r in got]
+        for r in got:
+            expect = round(1e-9 + cnt[r["term"]] * math.log(n / df[r["term"]]), 4)
+            assert abs(r["tfidf"] - expect) < 1e-9
