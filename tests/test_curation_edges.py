@@ -80,3 +80,34 @@ def test_empty_corpus_no_crash(spark, tmp_path):
         "bpe_train_merges",
     ):
         assert QUERIES[name]["fn"](spark, sf).count() == 0, name
+
+
+def test_partition_invariance_of_new_curation_ops(spark):
+    """Shuffle-partition count must not change any output value —
+    the order-independence claim behind every exact-integer /
+    single-division output, pinned the same way the engine pins
+    gapfill chunking."""
+    sf = "/root/testdata/sf0.001"
+    names = (
+        "doc_repetition_ratio",
+        "dedup_span_exact",
+        "shard_shuffle_assign",
+        "quality_decile_thresholds",
+        "tfidf_top_terms",
+    )
+    def snap(n_part):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        try:
+            return {
+                name: sorted(
+                    map(tuple, QUERIES[name]["fn"](spark, sf).collect())
+                )
+                for name in names
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    a, b = snap(3), snap(32)
+    for name in names:
+        assert a[name] == b[name], name
