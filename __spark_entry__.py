@@ -87,13 +87,13 @@ _HEAD = [
     "dedup_span_exact",
     "quality_decile_thresholds",
     "tfidf_top_terms",
+    "embedding_outlier_zscore",
     # engine-path proofs + flagship family
     "gorilla_roundtrip",
     "token_roundtrip",
     "streaming_rollup_hourly",
     "streaming_sessionize",
     "gapfill_dose_response",
-    "gapfill_wang_engels",
     # LLM-pipeline operators
     "dedup_exact",
 ]
@@ -106,6 +106,7 @@ _TAIL = [
     "kernel_smooth_events",
     "lut_inversion_topk",
     "gapfill_asymptotic_daily",
+    "gapfill_wang_engels",
     "enkf_assimilate_events",
     # displaced by the curation batch-2 block; rotate back next round
     "dedup_embedding_cosine",

@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_span_exact",
     "quality_decile_thresholds",
     "tfidf_top_terms",
+    "embedding_outlier_zscore",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -2982,3 +2982,113 @@ def tfidf_top_terms(spark, sf_dir):
             "rank",
         )
     )
+
+
+@_q(
+    "embedding_outlier_zscore",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> floor(x::DOUBLE * {_KM_Q} + 0.5) / {_KM_Q})
+               AS emb
+      FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(1, {_KM_DIM} + 1)) AS pos),
+    u AS (SELECT label, pos, emb[pos] AS v FROM e CROSS JOIN dims),
+    cent AS (
+      SELECT label, pos,
+             floor((sum(v) / count(*)) * {_KM_Q} + 0.5) / {_KM_Q} AS cv
+      FROM u GROUP BY label, pos
+    ),
+    dist AS (
+      SELECT e.vec_id, e.label,
+             sum((e.emb[cent.pos] - cent.cv) * (e.emb[cent.pos] - cent.cv))
+               AS d
+      FROM e JOIN cent USING (label) GROUP BY e.vec_id, e.label
+    ),
+    stats AS (
+      SELECT label,
+             sum(d) / count(*) AS mean_d,
+             sqrt(greatest(
+               sum(d * d) / count(*)
+                 - (sum(d) / count(*)) * (sum(d) / count(*)), 0)) AS std_d
+      FROM dist GROUP BY label
+    )
+    SELECT dist.vec_id, dist.label,
+           round(1e-9 + dist.d, 4) AS dist,
+           round(1e-9 + stats.mean_d, 4) AS label_mean,
+           round(1e-9 + stats.std_d, 4) AS label_std,
+           cast(CASE WHEN round(1e-9 + dist.d, 4)
+                          > round(1e-9 + stats.mean_d + 2 * stats.std_d, 4)
+                     THEN 1 ELSE 0 END AS bigint) AS is_outlier
+    FROM dist JOIN stats USING (label)
+    """,
+)
+def embedding_outlier_zscore(spark, sf_dir):
+    """Embedding-space quality filter: flag vectors whose squared
+    distance to their label centroid exceeds mean + 2*std within the
+    label — the embedding twin of the reference's mean±std outlier
+    CASE WHEN (src/04_reconstruct_s2_traits.py prepare_lai_ts), and
+    the shape of SemDeDup-style semantic pruning (drop points far
+    from / too close to their cluster center).
+
+    Determinism: embeddings snap to the 1/512 power-of-two grid
+    (_snap), centroids re-snap after the mean, so every (v - cv)^2
+    term and the per-vector distance d are EXACT in double —
+    order/engine-independent (the k-means convention). The per-label
+    moment sums of d are single-level aggregations under the standard
+    round(1e-9+x, 4) convention, and the outlier comparison runs on
+    the ROUNDED values so both engines compare identical doubles.
+
+    Scale shape: centroids are a K_labels x dim aggregate
+    (map-side-combinable posexplode groupBy) collected to arrays and
+    BROADCAST; the corpus joins them by label without shuffling, and
+    the only corpus exchanges are the two label-keyed aggregations.
+    All join fan-in is label-bounded."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"), lambda x: _snap(x.cast("double"))
+        ).alias("emb"),
+    )
+    cent_rows = (
+        emb.select("label", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(_snap(F.sum("v") / F.count("*")).alias("cv"))
+    )
+    cent = cent_rows.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s.getField("cv"),
+        ).alias("cent")
+    )
+    d = F.aggregate(
+        F.zip_with("emb", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    dist = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", d.alias("d")
+    )
+    stats = dist.groupBy("label").agg(
+        (F.sum("d") / F.count("*")).alias("mean_d"),
+        F.sqrt(
+            F.greatest(
+                F.sum(F.col("d") * F.col("d")) / F.count("*")
+                - (F.sum("d") / F.count("*")) * (F.sum("d") / F.count("*")),
+                F.lit(0.0),
+            )
+        ).alias("std_d"),
+    )
+    dr = F.round(F.lit(1e-9) + F.col("d"), 4)
+    thr = F.round(F.lit(1e-9) + F.col("mean_d") + 2.0 * F.col("std_d"), 4)
+    return dist.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        dr.alias("dist"),
+        F.round(F.lit(1e-9) + F.col("mean_d"), 4).alias("label_mean"),
+        F.round(F.lit(1e-9) + F.col("std_d"), 4).alias("label_std"),
+        (dr > thr).cast("long").alias("is_outlier"),
+    )

@@ -304,3 +304,38 @@ def test_tfidf_top_terms_against_recount(spark):
         for r in got:
             expect = round(1e-9 + cnt[r["term"]] * math.log(n / df[r["term"]]), 4)
             assert abs(r["tfidf"] - expect) < 1e-9
+
+
+def test_embedding_outliers_recounted_in_numpy(spark):
+    """Recompute the per-label centroid distances + 2-sigma flags in
+    numpy on the same 1/512 grid and demand exact agreement."""
+    import numpy as np
+
+    Q = 512.0
+    raw = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    by_label = {}
+    for r in raw:
+        v = np.floor(np.asarray(r["embedding"], dtype=np.float64) * Q + 0.5) / Q
+        by_label.setdefault(r["label"], []).append((r["vec_id"], v))
+
+    expect = {}
+    for label, members in by_label.items():
+        mat = np.stack([v for _, v in members])
+        cent = np.floor(mat.mean(axis=0) * Q + 0.5) / Q
+        d = ((mat - cent) ** 2).sum(axis=1)
+        mean, std = d.mean(), np.sqrt(max((d * d).mean() - d.mean() ** 2, 0))
+        thr = round(1e-9 + mean + 2 * std, 4)
+        for (vec_id, _), di in zip(members, d):
+            dr = round(1e-9 + di, 4)
+            expect[vec_id] = (label, dr, int(dr > thr))
+
+    rows = QUERIES["embedding_outlier_zscore"]["fn"](spark, SF).collect()
+    assert len(rows) == len(expect)
+    n_out = 0
+    for r in rows:
+        label, dr, flag = expect[r["vec_id"]]
+        assert r["label"] == label
+        assert abs(r["dist"] - dr) < 1e-9
+        assert r["is_outlier"] == flag
+        n_out += flag
+    assert 0 < n_out < len(rows) // 4  # real but sparse signal
