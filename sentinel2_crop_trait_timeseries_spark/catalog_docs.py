@@ -3043,9 +3043,13 @@ def embedding_outlier_zscore(spark, sf_dir):
 
     Scale shape: centroids are a K_labels x dim aggregate
     (map-side-combinable posexplode groupBy) collected to arrays and
-    BROADCAST; the corpus joins them by label without shuffling, and
-    the only corpus exchanges are the two label-keyed aggregations.
-    All join fan-in is label-bounded."""
+    BROADCAST; the corpus joins them by label without shuffling. The
+    per-vector distance frame is localCheckpoint-ed (the
+    _kmeans_parts seam — a persisted table at cluster scale) so the
+    corpus is scanned ONCE: the stats pass and the flag pass both
+    read the materialized distances instead of re-deriving the
+    corpus-join subtree per DataFrame branch (plan-asserted:
+    exactly one BroadcastHashJoin)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -3069,8 +3073,10 @@ def embedding_outlier_zscore(spark, sf_dir):
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
-    dist = emb.join(F.broadcast(cent), "label").select(
-        "vec_id", "label", d.alias("d")
+    dist = (
+        emb.join(F.broadcast(cent), "label")
+        .select("vec_id", "label", d.alias("d"))
+        .localCheckpoint()
     )
     stats = dist.groupBy("label").agg(
         (F.sum("d") / F.count("*")).alias("mean_d"),

@@ -223,3 +223,14 @@ def test_span_dedup_two_exchanges_no_join(spark):
     plan = _executed(spark, "dedup_span_exact")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_embedding_outlier_single_scan_broadcast_only(spark):
+    """The distance frame is localCheckpoint-ed, so the plan reads the
+    materialized distances: exactly ONE BroadcastHashJoin (dist x
+    broadcast stats), no SortMergeJoin, and no re-derived corpus-join
+    subtree per branch (the ann_ivf_trained recompute lesson)."""
+    plan = _executed(spark, "embedding_outlier_zscore")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
