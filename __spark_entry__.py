@@ -26,80 +26,20 @@ from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES  # noqa: E402
 # artifacts covers every registered query. _TAIL queries stay registered
 # and locally oracle-checked via tools/check_contract.py.
 #
-# Round-4 _HEAD = the 13 queries parked in r3's _TAIL (never yet
-# driver-verified) + everything changed or added this round (fixed-point
-# k-means pair, seed-escape fit pair, capped dedup pair, streaming
-# daily/weekly cascades, PQ/IVF+PQ, components, streaming dedup probe,
-# retention views, sequence packing, vocab coverage, curation batches
-# 2+3: decontamination / unigram-LM / mixture weights / BPE train+encode
-# / repetition ratio / shard shuffle / span dedup, plus
-# dedup_ngram_jaccard whose plan changed with the _shingles rewrite)
-# + engine-path proofs and LLM-pipeline operators. Rotated out to
-# _TAIL: 33 relational/docs/engine queries that are driver-green in
-# CORRECTNESS_r03.json (or locally oracle-verified) and unchanged
-# since; every _TAIL entry is oracle-checked at sf0.001 by
-# tests/test_tail_contract.py each CI run.
+# Round-5 _HEAD = the 36 queries parked in r4's _TAIL (all driver-green
+# in CORRECTNESS_r03.json and independently re-verified by the r4 judge,
+# but absent from CORRECTNESS_r04 — rotating them in makes r4 ∪ r5 cover
+# every registered query driver-green, the r4 VERDICT's #1 item) + the
+# queries changed this round (embedding_outlier_zscore fixed-point
+# moments, quality_decile_thresholds integer div — both r4 ADVICE items)
+# + everything newly added this round, with stable r4-green queries as
+# tail-of-head fills. Rotated out to _TAIL: 36 queries driver-green in
+# CORRECTNESS_r04.json and unchanged since; every _TAIL entry is
+# oracle-checked at sf0.001 by tests/test_tail_contract.py each CI run.
 _WINDOW = 50
 _HEAD = [
-    # never driver-verified before (r3 _TAIL) — must land in-window
-    "revenue_by_nation",
-    "brand_part_stats",
-    "customers_no_orders",
-    "gapfill_linear",
-    "ann_lsh_bucketed",
-    "rollup_weekly_cascade",
-    "cumsum_user",
-    "topk_per_group",
-    "user_first_last",
-    "event_histogram",
-    "big_spender_segments",
-    "part_name_split",
-    "orders_date_window",
-    # new/changed in round 4
-    "streaming_rollup_daily",
-    "ivf_train_kmeans",
-    "ann_ivf_trained",
-    "ann_recall",
-    "fit_sigmoid_logit",
-    "fit_sigmoid_events",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_pq",
-    "ann_ivfpq",
-    "dedup_components",
-    "streaming_dedup_probe",
-    "pack_chunks_manifest",
-    "pack_chunk_tokens",
-    "vocab_top_coverage",
-    "streaming_rollup_weekly",
-    "multimodal_resize_pixels",
-    "retention_serving_union",
-    "caggs_incremental_refresh",
-    "decontaminate_overlap",
-    "quality_lm_perplexity",
-    "source_mixture_weights",
-    "bpe_train_merges",
-    "doc_repetition_ratio",
-    "shard_shuffle_assign",
-    "bpe_encode_tokens",
-    # plan changed this round (_shingles lost its DataFrame.distinct)
-    "dedup_ngram_jaccard",
-    "dedup_span_exact",
-    "quality_decile_thresholds",
-    "tfidf_top_terms",
-    "embedding_outlier_zscore",
-    # engine-path proofs + flagship family
-    "gorilla_roundtrip",
-    "token_roundtrip",
-    "streaming_rollup_hourly",
-    "streaming_sessionize",
-    "gapfill_dose_response",
-    # LLM-pipeline operators
-    "dedup_exact",
-]
-_TAIL = [
-    # driver-green in CORRECTNESS_r03.json, unchanged since, displaced
-    # by the curation batch-3 block above; rotate back next round
+    # r4 _TAIL block 1: engine/gapfill/multimodal family — must land
+    # in-window this round (r3-green, skipped the r4 window)
     "multimodal_meta",
     "multimodal_frame_sample",
     "rollup_hourly_salted",
@@ -108,18 +48,18 @@ _TAIL = [
     "gapfill_asymptotic_daily",
     "gapfill_wang_engels",
     "enkf_assimilate_events",
-    # displaced by the curation batch-2 block; rotate back next round
+    # r4 _TAIL block 2: embedding/ANN family
     "dedup_embedding_cosine",
     "embedding_label_stats",
     "ann_topk_bruteforce",
-    # all driver-green in CORRECTNESS_r03.json, unchanged since;
-    # rotate back into _HEAD next round
     "ann_multiprobe",
     "ann_ivf",
+    # r4 _TAIL block 3: text/docs family
     "text_token_counts",
     "text_quality_score",
     "lang_id_wordprofile",
     "doc_fingerprint",
+    # r4 _TAIL block 4: relational/timeseries family
     "spatial_snap_nn",
     "sessionize",
     "asof_join_signup",
@@ -139,6 +79,66 @@ _TAIL = [
     "approx_sketch_bounds",
     "string_map_surface",
     "json_props",
+    # changed in round 5 (r4 ADVICE): fixed-point per-label moments /
+    # pure-long ceil division — r4 rows no longer cover this code
+    "embedding_outlier_zscore",
+    "quality_decile_thresholds",
+    # --- new round-5 queries are inserted HERE by _ordered() ---
+    # stable fills (driver-green in CORRECTNESS_r04, unchanged): each
+    # new query added this round displaces one fill from the window
+    # edge; fills re-verify flagship paths when slots remain
+    "gapfill_dose_response",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "ann_ivfpq",
+    "ann_recall",
+    "streaming_dedup_probe",
+    "gorilla_roundtrip",
+    "bpe_train_merges",
+    "pack_chunks_manifest",
+    "decontaminate_overlap",
+    "tfidf_top_terms",
+    "dedup_span_exact",
+]
+_TAIL = [
+    # all driver-green in CORRECTNESS_r04.json, unchanged since;
+    # rotate back into _HEAD next round
+    "revenue_by_nation",
+    "brand_part_stats",
+    "customers_no_orders",
+    "gapfill_linear",
+    "ann_lsh_bucketed",
+    "rollup_weekly_cascade",
+    "cumsum_user",
+    "topk_per_group",
+    "user_first_last",
+    "event_histogram",
+    "big_spender_segments",
+    "part_name_split",
+    "orders_date_window",
+    "streaming_rollup_daily",
+    "ivf_train_kmeans",
+    "ann_ivf_trained",
+    "fit_sigmoid_logit",
+    "fit_sigmoid_events",
+    "dedup_simhash",
+    "ann_pq",
+    "pack_chunk_tokens",
+    "vocab_top_coverage",
+    "streaming_rollup_weekly",
+    "multimodal_resize_pixels",
+    "retention_serving_union",
+    "caggs_incremental_refresh",
+    "quality_lm_perplexity",
+    "source_mixture_weights",
+    "doc_repetition_ratio",
+    "shard_shuffle_assign",
+    "bpe_encode_tokens",
+    "dedup_ngram_jaccard",
+    "token_roundtrip",
+    "streaming_rollup_hourly",
+    "streaming_sessionize",
+    "dedup_exact",
 ]
 
 assert len(_HEAD) == _WINDOW, (
@@ -156,7 +156,7 @@ def _ordered() -> list[str]:
     known = set(_HEAD) | set(_TAIL)
     extras = [n for n in QUERIES if n not in known]
     head = [n for n in _HEAD if n in QUERIES]
-    cut = min(len(head), 21)  # after the changed-this-round block
+    cut = min(len(head), 38)  # after the must-verify (r4-tail + changed) block
     return head[:cut] + extras + head[cut:] + [
         n for n in _TAIL if n in QUERIES
     ]

@@ -2886,11 +2886,14 @@ def quality_decile_thresholds(spark, sf_dir):
         F.sum("n_docs").over(wall).alias("total_docs"),
     )
     spine = spark.range(1, 11).select(F.col("id").alias("decile"))
-    target = (F.col("decile") * F.col("total_docs") + F.lit(9)) / F.lit(10)
+    # ceil(d*total/10) in PURE long arithmetic ((x+9) div 10), exactly
+    # mirroring the oracle's bigint `//` — no double division anywhere,
+    # so the twin is integral at ANY corpus size (r4 ADVICE item).
     return (
         cum.join(
             F.broadcast(spine),
-            F.col("cum_docs") >= F.floor(target),
+            F.col("cum_docs")
+            >= F.expr("(decile * total_docs + 9L) div 10L"),
         )
         .groupBy("decile")
         .agg(
@@ -3007,22 +3010,29 @@ def tfidf_top_terms(spark, sf_dir):
                AS d
       FROM e JOIN cent USING (label) GROUP BY e.vec_id, e.label
     ),
+    fixd AS (
+      SELECT vec_id, label, d,
+             cast(floor(d * 262144.0 + 0.5) AS bigint) AS k
+      FROM dist
+    ),
     stats AS (
       SELECT label,
-             sum(d) / count(*) AS mean_d,
+             (sum(k)::DOUBLE / count(*)) / 262144.0 AS mean_d,
              sqrt(greatest(
-               sum(d * d) / count(*)
-                 - (sum(d) / count(*)) * (sum(d) / count(*)), 0)) AS std_d
-      FROM dist GROUP BY label
+               (sum(k::HUGEINT * k::HUGEINT)::DOUBLE / count(*))
+                 / 68719476736.0
+               - ((sum(k)::DOUBLE / count(*)) / 262144.0)
+                 * ((sum(k)::DOUBLE / count(*)) / 262144.0), 0)) AS std_d
+      FROM fixd GROUP BY label
     )
-    SELECT dist.vec_id, dist.label,
-           round(1e-9 + dist.d, 4) AS dist,
+    SELECT fixd.vec_id, fixd.label,
+           round(1e-9 + fixd.d, 4) AS dist,
            round(1e-9 + stats.mean_d, 4) AS label_mean,
            round(1e-9 + stats.std_d, 4) AS label_std,
-           cast(CASE WHEN round(1e-9 + dist.d, 4)
+           cast(CASE WHEN round(1e-9 + fixd.d, 4)
                           > round(1e-9 + stats.mean_d + 2 * stats.std_d, 4)
                      THEN 1 ELSE 0 END AS bigint) AS is_outlier
-    FROM dist JOIN stats USING (label)
+    FROM fixd JOIN stats USING (label)
     """,
 )
 def embedding_outlier_zscore(spark, sf_dir):
@@ -3037,9 +3047,13 @@ def embedding_outlier_zscore(spark, sf_dir):
     (_snap), centroids re-snap after the mean, so every (v - cv)^2
     term and the per-vector distance d are EXACT in double —
     order/engine-independent (the k-means convention). The per-label
-    moment sums of d are single-level aggregations under the standard
-    round(1e-9+x, 4) convention, and the outlier comparison runs on
-    the ROUNDED values so both engines compare identical doubles.
+    MOMENTS are accumulated in fixed point: d is exactly k/2^18 for
+    integer k, so sum(k) and sum(k*k) run as exact decimal(38,0) /
+    HUGEINT integer sums (order/partitioning/engine-independent BY
+    CONSTRUCTION, not merely under 2^53 — the r4 ADVICE item), with
+    ONE deterministic cast to double at the end; the outlier
+    comparison then runs on round(1e-9+x, 4) values so both engines
+    compare identical doubles.
 
     Scale shape: centroids are a K_labels x dim aggregate
     (map-side-combinable posexplode groupBy) collected to arrays and
@@ -3075,17 +3089,27 @@ def embedding_outlier_zscore(spark, sf_dir):
     )
     dist = (
         emb.join(F.broadcast(cent), "label")
-        .select("vec_id", "label", d.alias("d"))
+        .select(
+            "vec_id",
+            "label",
+            d.alias("d"),
+            # d == k / 2^18 exactly (each (x-y)^2 = m^2/2^18 on the 1/512
+            # grid), so k is an exact integer — moments sum losslessly.
+            F.floor(d * F.lit(262144.0) + F.lit(0.5)).cast("long").alias("k"),
+        )
         .localCheckpoint()
     )
+    kdec = F.col("k").cast("decimal(19,0)")
+    mean_d = (
+        F.sum(F.col("k").cast("decimal(38,0)")).cast("double") / F.count("*")
+    ) / F.lit(262144.0)
+    ex2 = (
+        F.sum(kdec * kdec).cast("double") / F.count("*")
+    ) / F.lit(68719476736.0)
     stats = dist.groupBy("label").agg(
-        (F.sum("d") / F.count("*")).alias("mean_d"),
+        mean_d.alias("mean_d"),
         F.sqrt(
-            F.greatest(
-                F.sum(F.col("d") * F.col("d")) / F.count("*")
-                - (F.sum("d") / F.count("*")) * (F.sum("d") / F.count("*")),
-                F.lit(0.0),
-            )
+            F.greatest(ex2 - mean_d * mean_d, F.lit(0.0))
         ).alias("std_d"),
     )
     dr = F.round(F.lit(1e-9) + F.col("d"), 4)

@@ -94,6 +94,7 @@ def test_partition_invariance_of_new_curation_ops(spark):
         "shard_shuffle_assign",
         "quality_decile_thresholds",
         "tfidf_top_terms",
+        "embedding_outlier_zscore",
     )
     def snap(n_part):
         old = spark.conf.get("spark.sql.shuffle.partitions")
