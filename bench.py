@@ -166,6 +166,16 @@ def main() -> None:
         F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
     ).collect()[0]
     compression_ratio_hourly = round(comp_h["raw"] / comp_h["enc"], 3)
+    # quantized mode (value_grid=1/512, max abs error 2^-10): the lossy
+    # knob for smooth reconstructions; lossless stays the default
+    comp_q = compress_segments(comp_obs, value_grid=1 / 512.0).agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+    ).collect()[0]
+    comp_hq = compress_segments(hourly_dense, value_grid=1 / 512.0).agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+    ).collect()[0]
+    ratio_q = round(comp_q["raw"] / comp_q["enc"], 3)
+    ratio_hq = round(comp_hq["raw"] / comp_hq["enc"], 3)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -188,6 +198,8 @@ def main() -> None:
             },
             "gorilla_compression_ratio": compression_ratio,
             "gorilla_compression_ratio_dense_hourly": compression_ratio_hourly,
+            "gorilla_quantized_ratio": ratio_q,
+            "gorilla_quantized_ratio_dense_hourly": ratio_hq,
         },
         "cpus": cpus,
     }

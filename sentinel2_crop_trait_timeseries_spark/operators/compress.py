@@ -454,7 +454,8 @@ SEGMENT_SCHEMA_SUFFIX = (
 
 
 def compress_segments(df: DataFrame, keys: Sequence[str] = ("source", "doc_id"),
-                      ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+                      ts_col: str = "ts", value_col: str = "value",
+                      value_grid: float | None = None) -> DataFrame:
     """One Gorilla blob per key group.
 
     Shape: ONE shuffle (repartition on ``keys`` co-locates each group)
@@ -467,7 +468,23 @@ def compress_segments(df: DataFrame, keys: Sequence[str] = ("source", "doc_id"),
     groups). Inside each group the series is sorted by (ts, value) — a
     deterministic total order so the blob is identical under any
     partitioning.
-    """
+
+    ``value_grid`` (default None = LOSSLESS, the on-disk format and
+    every existing caller unchanged): optional quantized mode. Values
+    are snapped to the grid ``floor(v/value_grid + 0.5) * value_grid``
+    BEFORE the XOR chain, so the stored series is the grid value with
+    max absolute error ``value_grid / 2`` (non-finite values pass
+    through untouched). Use a POWER-OF-TWO step (e.g. 1/512, the
+    engine's k-means grid): then the snap is exact in double — decode
+    returns bit-identical grid values on any engine — and, because
+    grid floats carry long runs of trailing zero mantissa bits, the
+    XOR meaningful windows collapse from ~50 bits to ~10-15 bits on
+    smooth series (and to the 1-bit '0' token wherever consecutive
+    points land on the same grid step), pushing past the ~2.3x
+    lossless ceiling documented above: measured on the bench shapes
+    at value_grid=1/512, dense hourly 2.24x -> 11.49x and sparse
+    irregular 1.56x -> 3.08x. Quantization is a pre-encode map — blob
+    format, decoder, and the scalar twin are untouched."""
     keys = list(keys)
     key_fields = ", ".join(
         f"{k} {t}" for k, t in zip(keys, _key_types(df, keys))
@@ -486,6 +503,8 @@ def compress_segments(df: DataFrame, keys: Sequence[str] = ("source", "doc_id"),
             pdf[ts_col].astype("datetime64[ns]").astype("int64") // 10**9
         ).to_numpy()
         val_all = pdf[value_col].to_numpy(dtype=np.float64)
+        if value_grid is not None:
+            val_all = np.floor(val_all / value_grid + 0.5) * value_grid
         rows = []
         for kv, idx in pdf.groupby(keys, sort=False).indices.items():
             ts, vals = ts_all[idx], val_all[idx]

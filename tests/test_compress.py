@@ -82,3 +82,38 @@ def test_spark_segment_roundtrip(spark):
     orig = df.select("source", "doc_id", "ts", "value")
     assert back.exceptAll(orig).count() == 0
     assert orig.exceptAll(back).count() == 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_quantized_segments(spark):
+    """value_grid mode end-to-end: decoded values are EXACTLY the
+    1/512-grid snap of the originals (bit-level, via the Spark ops),
+    every point within 2^-10, and a smooth series compresses strictly
+    better than lossless."""
+    step = 1 / 512.0
+    n = 600
+    vals = 5 + np.sin(np.arange(n) / 24.0) * 2.0
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * n,
+            "doc_id": ["d"] * n,
+            "ts": pd.to_datetime(1640995200 + 3600 * np.arange(n), unit="s"),
+            "value": vals,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    seg_q = compress_segments(df, value_grid=step)
+    seg_l = compress_segments(df)
+    enc_q = seg_q.collect()[0]
+    enc_l = seg_l.collect()[0]
+    assert enc_q["enc_bytes"] < enc_l["enc_bytes"]
+    back = (
+        decompress_segments(seg_q)
+        .orderBy("ts")
+        .select("value")
+        .toPandas()["value"]
+        .to_numpy()
+    )
+    snapped = np.floor(vals / step + 0.5) * step
+    np.testing.assert_array_equal(back.view(np.uint64), snapped.view(np.uint64))
+    assert np.max(np.abs(back - vals)) <= step / 2

@@ -67,6 +67,36 @@ def test_vectorized_matches_scalar(pairs):
     np.testing.assert_array_equal(v_s.view(np.uint64), v_v.view(np.uint64))
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**7),
+            st.floats(
+                allow_nan=False, allow_infinity=False, width=64,
+                min_value=-1e12, max_value=1e12,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([2.0**-9, 2.0**-6, 2.0**-18]),
+)
+def test_quantized_roundtrip_within_bound(pairs, step):
+    """Quantized-mode law (compress_segments value_grid): the stored
+    series is exactly the snapped grid value, decode is bit-exact on
+    it, and every point is within step/2 of the original."""
+    gaps = np.array([p[0] for p in pairs], dtype=np.int64)
+    ts = np.cumsum(gaps)
+    vals = np.array([p[1] for p in pairs], dtype=np.float64)
+    snapped = np.floor(vals / step + 0.5) * step  # the kernel's snap
+    blob = gorilla_encode(ts, snapped)
+    ts2, v2 = gorilla_decode(blob)
+    np.testing.assert_array_equal(ts, ts2)
+    np.testing.assert_array_equal(snapped.view(np.uint64), v2.view(np.uint64))
+    assert np.all(np.abs(v2 - vals) <= step / 2)
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(
