@@ -87,6 +87,12 @@ HEADLINE = [
     "quality_decile_thresholds",
     "tfidf_top_terms",
     "embedding_outlier_zscore",
+    # round-5 additions: recall panel on the clustered derivation,
+    # quantized Gorilla round-trip, and the COMPOSED curation pipeline
+    # (quality -> dedup-canonical -> decontaminate -> pack -> shard)
+    "ann_recall_clustered",
+    "gorilla_quantized_roundtrip",
+    "curation_pipeline_counts",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -3409,3 +3409,165 @@ def embedding_outlier_zscore(spark, sf_dir):
         F.round(F.lit(1e-9) + F.col("std_d"), 4).alias("label_std"),
         (dr > thr).cast("long").alias("is_outlier"),
     )
+
+
+# =====================================================================
+# Round-5: the composed curation pipeline — the stages verified solo
+# above, chained the way a real pretraining-data run chains them
+# (quality filter -> dedup keep-canonical -> decontaminate -> pack ->
+# shard), with each stage's surviving count AND a membership checksum
+# oracle-verified. tools/run_curation.py executes the same chain as a
+# resumable manifest job; this query is its hash-exact contract.
+# =====================================================================
+
+_CURATION_PIPELINE_SQL = f"""
+    WITH rep AS MATERIALIZED ({_REGISTRY["doc_repetition_ratio"]["sql"]}),
+    comp AS MATERIALIZED ({_REGISTRY["dedup_components"]["sql"]}),
+    dec AS MATERIALIZED ({_REGISTRY["decontaminate_overlap"]["sql"]}),
+    shard AS MATERIALIZED ({_REGISTRY["shard_shuffle_assign"]["sql"]}),
+    q1 AS MATERIALIZED (
+      SELECT doc_id FROM rep WHERE n_words >= 10 AND dup_word_frac <= 0.3
+    ),
+    q2 AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT q1.doc_id,
+               min(q1.doc_id) OVER (PARTITION BY comp.component) AS canon
+        FROM q1 JOIN comp USING (doc_id)
+      ) WHERE doc_id = canon
+    ),
+    q3 AS MATERIALIZED (
+      SELECT doc_id FROM q2
+      WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dec)
+    ),
+    toks AS (
+      SELECT source, doc_id, {_SQL_NTOK} AS n_tok FROM documents
+    ),
+    surv AS (
+      SELECT t.source, t.doc_id, t.n_tok
+      FROM toks t JOIN q3 USING (doc_id) WHERE t.n_tok > 0
+    ),
+    persrc AS (SELECT source, sum(n_tok) AS tot FROM surv GROUP BY 1)
+    SELECT cast(1 AS bigint) AS stage_order, 'input' AS stage,
+           cast(count(*) AS bigint) AS n_out,
+           cast(sum(doc_id) AS bigint) AS checksum
+    FROM documents
+    UNION ALL
+    SELECT 2, 'quality', cast(count(*) AS bigint),
+           cast(coalesce(sum(doc_id), 0) AS bigint) FROM q1
+    UNION ALL
+    SELECT 3, 'dedup_canonical', cast(count(*) AS bigint),
+           cast(coalesce(sum(doc_id), 0) AS bigint) FROM q2
+    UNION ALL
+    SELECT 4, 'decontaminated', cast(count(*) AS bigint),
+           cast(coalesce(sum(doc_id), 0) AS bigint) FROM q3
+    UNION ALL
+    SELECT 5, 'packed', cast(coalesce(sum((tot + 255) // 256), 0) AS bigint),
+           cast(coalesce(sum(tot), 0) AS bigint) FROM persrc
+    UNION ALL
+    SELECT 6, 'sharded', cast(count(DISTINCT s.shard) AS bigint),
+           cast(coalesce(sum(s.doc_id + s.shard), 0) AS bigint)
+    FROM shard s JOIN q3 USING (doc_id)
+"""
+
+
+def curation_survivor_stages(spark, sf_dir):
+    """The pipeline's survivor sets, one checkpointed frame per stage:
+    (q1 quality, q2 dedup-canonical, q3 decontaminated) doc_id frames.
+    Each heavy subtree (in-row repetition stats, the iterative
+    component propagation, the broadcast decontamination probe) runs
+    ONCE: every stage's survivor list is localCheckpoint-ed before the
+    next stage and before the multi-branch counting query reads it (at
+    cluster scale these are the pipeline's materialized stage tables,
+    exactly what tools/run_curation.py writes to parquet)."""
+    q1 = (
+        _REGISTRY["doc_repetition_ratio"]["fn"](spark, sf_dir)
+        .filter((F.col("n_words") >= 10) & (F.col("dup_word_frac") <= 0.3))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    comp = _REGISTRY["dedup_components"]["fn"](spark, sf_dir)
+    wmin = Window.partitionBy("component")
+    q2 = (
+        q1.join(comp, "doc_id")
+        .withColumn("canon", F.min("doc_id").over(wmin))
+        .filter(F.col("doc_id") == F.col("canon"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    dec = _REGISTRY["decontaminate_overlap"]["fn"](spark, sf_dir).select(
+        "doc_id"
+    )
+    q3 = (
+        q2.filter(F.col("doc_id") % 97 != 0)
+        .join(dec, "doc_id", "left_anti")
+        .localCheckpoint()
+    )
+    return q1, q2, q3
+
+
+@_q("curation_pipeline_counts", _CURATION_PIPELINE_SQL)
+def curation_pipeline_counts(spark, sf_dir):
+    """END-TO-END curation pipeline contract: quality filter (Gopher
+    repetition + length) -> near-dup removal keeping each MinHash-LSH
+    component's canonical doc -> eval-split decontamination -> 256-token
+    sequence packing -> epoch shard assignment, reporting every stage's
+    surviving count plus an exact integer membership checksum
+    (sum of surviving doc_ids; token totals for the pack stage; shard
+    ids for the shard stage). The solo queries prove each operator;
+    this proves they COMPOSE — the actual shape of a production
+    pretraining-data run (and of the reference's entry point A, whose
+    fixed dataflow chains gapfill -> tiers -> fit the same way,
+    src/04_reconstruct_s2_traits.py:607-638).
+
+    Scale shape: stage survivor lists are checkpointed doc_id frames
+    (each heavy subtree executes once — see curation_survivor_stages);
+    counting is six 1-row aggregates unioned. Stage predicates reuse
+    the registered queries' own plans: in-row repetition stats (zero
+    exchange), star-edge components (linear edges), broadcast eval
+    probe, two-level-prefix-sum pack arithmetic, hash shard
+    assignment. Everything integer => hash-exact across engines."""
+    d = _t(spark, sf_dir, "documents")
+    q1, q2, q3 = curation_survivor_stages(spark, sf_dir)
+
+    def row(order: int, stage: str, frame, checksum_col) -> DataFrame:
+        return frame.agg(
+            F.lit(order).cast("long").alias("stage_order"),
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.coalesce(F.sum(checksum_col), F.lit(0))
+            .cast("long")
+            .alias("checksum"),
+        )
+
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    toks = d.select("source", "doc_id", F.size(ws).cast("long").alias("n_tok"))
+    surv = q3.join(toks, "doc_id").filter(F.col("n_tok") > 0)
+    persrc = surv.groupBy("source").agg(F.sum("n_tok").alias("tot"))
+    packed = persrc.agg(
+        F.lit(5).cast("long").alias("stage_order"),
+        F.lit("packed").alias("stage"),
+        F.coalesce(F.sum(F.expr("(tot + 255) div 256")), F.lit(0))
+        .cast("long")
+        .alias("n_out"),
+        F.coalesce(F.sum("tot"), F.lit(0)).cast("long").alias("checksum"),
+    )
+    sh = _REGISTRY["shard_shuffle_assign"]["fn"](spark, sf_dir).select(
+        "doc_id", "shard"
+    )
+    shj = q3.join(sh, "doc_id")
+    sharded = shj.agg(
+        F.lit(6).cast("long").alias("stage_order"),
+        F.lit("sharded").alias("stage"),
+        F.countDistinct("shard").cast("long").alias("n_out"),
+        F.coalesce(F.sum(F.col("doc_id") + F.col("shard")), F.lit(0))
+        .cast("long")
+        .alias("checksum"),
+    )
+    return (
+        row(1, "input", d, F.col("doc_id"))
+        .unionByName(row(2, "quality", q1, F.col("doc_id")))
+        .unionByName(row(3, "dedup_canonical", q2, F.col("doc_id")))
+        .unionByName(row(4, "decontaminated", q3, F.col("doc_id")))
+        .unionByName(packed)
+        .unionByName(sharded)
+    )
