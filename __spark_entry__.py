@@ -83,22 +83,25 @@ _HEAD = [
     # pure-long ceil division — r4 rows no longer cover this code
     "embedding_outlier_zscore",
     "quality_decile_thresholds",
-    # --- new round-5 queries are inserted HERE by _ordered() ---
+    # new in round 5: clustered-recall panel, quantized Gorilla mode,
+    # the composed curation pipeline contract
+    "ann_recall_clustered",
+    "gorilla_quantized_roundtrip",
+    "curation_pipeline_counts",
+    # new in round 5: the ordered-timeseries batch (catalog_ts.py)
+    "asof_join_clicks",
+    "gaps_islands_user",
+    "time_weighted_avg_daily",
+    "counter_rate_daily",
+    "lttb_downsample",
+    "ewma_user_fold",
+    # --- brand-new queries are inserted HERE by _ordered() ---
     # stable fills (driver-green in CORRECTNESS_r04, unchanged): each
     # new query added this round displaces one fill from the window
     # edge; fills re-verify flagship paths when slots remain
     "gapfill_dose_response",
     "dedup_minhash_lsh",
     "dedup_components",
-    "ann_ivfpq",
-    "ann_recall",
-    "streaming_dedup_probe",
-    "gorilla_roundtrip",
-    "bpe_train_merges",
-    "pack_chunks_manifest",
-    "decontaminate_overlap",
-    "tfidf_top_terms",
-    "dedup_span_exact",
 ]
 _TAIL = [
     # all driver-green in CORRECTNESS_r04.json, unchanged since;
@@ -139,6 +142,15 @@ _TAIL = [
     "streaming_rollup_hourly",
     "streaming_sessionize",
     "dedup_exact",
+    "decontaminate_overlap",
+    "tfidf_top_terms",
+    "dedup_span_exact",
+    "ann_ivfpq",
+    "ann_recall",
+    "streaming_dedup_probe",
+    "gorilla_roundtrip",
+    "bpe_train_merges",
+    "pack_chunks_manifest",
 ]
 
 assert len(_HEAD) == _WINDOW, (
@@ -156,7 +168,7 @@ def _ordered() -> list[str]:
     known = set(_HEAD) | set(_TAIL)
     extras = [n for n in QUERIES if n not in known]
     head = [n for n in _HEAD if n in QUERIES]
-    cut = min(len(head), 38)  # after the must-verify (r4-tail + changed) block
+    cut = min(len(head), 41)  # after the must-verify (r4-tail + changed/new) block
     return head[:cut] + extras + head[cut:] + [
         n for n in _TAIL if n in QUERIES
     ]

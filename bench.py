@@ -93,6 +93,16 @@ HEADLINE = [
     "ann_recall_clustered",
     "gorilla_quantized_roundtrip",
     "curation_pipeline_counts",
+    # round-5 ordered-timeseries batch (catalog_ts.py): two-relation
+    # ASOF join (union-tag single shuffle), gaps-and-islands, LOCF
+    # time-weighted average, counter-reset rate, iterative LTTB
+    # downsample, grid-snapped EWMA fold
+    "asof_join_clicks",
+    "gaps_islands_user",
+    "time_weighted_avg_daily",
+    "counter_rate_daily",
+    "lttb_downsample",
+    "ewma_user_fold",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -1695,3 +1695,4 @@ def kernel_smooth_events(spark, sf_dir):
 # register the documents/embeddings training-data pipeline queries
 from sentinel2_crop_trait_timeseries_spark import catalog_docs  # noqa: E402,F401
 from sentinel2_crop_trait_timeseries_spark import catalog_engine  # noqa: E402,F401
+from sentinel2_crop_trait_timeseries_spark import catalog_ts  # noqa: E402,F401

@@ -1,0 +1,645 @@
+"""Ordered-timeseries analytics queries: ASOF join, gaps-and-islands,
+time-weighted average, counter-reset rate, LTTB downsample, EWMA fold.
+
+The reference pipeline is built on irregular per-parcel time series that
+are repeatedly re-keyed onto other time axes: scene observations merged
+onto the meteo spine (src/04_reconstruct_s2_traits.py:216
+``merge_with_meteo``), per-segment interpolation between assimilated
+anchor points (src/04_reconstruct_s2_traits.py:162), and daily
+resampling of hourly covariates (src/04_reconstruct_s2_traits.py:397).
+This module re-expresses that family as the standard named timeseries
+operators a warehouse user expects (pandas ``merge_asof`` /
+TimescaleDB ``time_weight`` / Prometheus ``increase`` / LTTB), each as
+a single-shuffle Spark plan with a DuckDB oracle.
+
+Exactness conventions (see also catalog.py header):
+- time is surfaced as BIGINT epoch MICROseconds (Spark ``unix_micros``,
+  DuckDB ``epoch_us``) — integer arithmetic end to end, no float time
+- ``value`` carries exactly 2 decimals in the fixtures, so
+  ``round(value*100)`` as BIGINT cents makes every weighted sum an
+  integer sum: exact, partition-order-independent, engine-independent
+- the few remaining float ops (one division at the end; the EWMA
+  recurrence) are either single IEEE ops on identical operands or are
+  snapped to a power-of-two grid each step (the repo's fixed-point
+  house rule — see ivf_train_kmeans), so no cross-engine ulp wobble
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sentinel2_crop_trait_timeseries_spark.catalog import (
+    _q,
+    _t,
+)
+
+# epoch microseconds / cent fixed-point helpers (Spark side)
+_US = "cast(unix_micros(cast(ts as timestamp)) as bigint)"
+_CENTS = "cast(round(value * 100) as bigint)"
+# DuckDB twins
+_SQL_US = "epoch_us(ts)"
+_SQL_CENTS = "cast(round(value * 100) as bigint)"
+
+_DAY_US = 86_400_000_000
+_GAP_US = 21_600_000_000  # 6 h island threshold
+
+
+def _e(spark, sf_dir):
+    """events with the µs/cents projection used by every query here."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(_US).alias("ts_us"),
+        F.expr(_CENTS).alias("cents"),
+    )
+
+
+# =====================================================================
+# ASOF join (pandas merge_asof / kdb aj / QuestDB ASOF JOIN)
+# =====================================================================
+
+@_q(
+    "asof_join_clicks",
+    f"""
+    WITH b AS (
+      SELECT user_id, ts, max({_SQL_CENTS}) AS bc
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT a.event_id, a.user_id, a.event_type,
+           {_SQL_US.replace('ts', 'a.ts')} AS ts_us,
+           b.bc AS click_cents,
+           {_SQL_US.replace('ts', 'a.ts')} - {_SQL_US.replace('ts', 'b.ts')}
+             AS staleness_us
+    FROM events a
+    ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+    WHERE a.event_type <> 'click'
+    """,
+)
+def asof_join_clicks(spark, sf_dir):
+    """Two-relation ASOF backward join: every non-click event picks up
+    the latest click VALUE of the same user at-or-before its timestamp,
+    plus the staleness in exact microseconds (reference analog: scene
+    rows merged onto the most recent meteo reading,
+    src/04_reconstruct_s2_traits.py:216). Completes catalog.py's
+    asof_join_signup, which is the degenerate single-stream case
+    (carries only the matched timestamp, reference rows not deduped,
+    oracle is the same window idiom): here the reference is a separate
+    deduped keyed relation, the matched PAYLOAD and staleness are
+    carried, and the oracle runs DuckDB's native ASOF JOIN operator.
+
+    Scale shape: Spark has no ASOF join operator, and the naive range
+    join (a.user=b.user AND b.ts<=a.ts, keep max) explodes to
+    O(rows_a x clicks_per_user). This plan is the UNION-TAG pattern —
+    the scalable formulation: tag the reference stream 0 and the probe
+    stream 1, union, and run ONE window per user ordered by
+    (ts_us, tag) carrying last(click, ignorenulls). Cost = exactly one
+    shuffle of (probe + reference), zero joins, no row amplification;
+    at 100 TB it is a single sort-based exchange keyed by user, and
+    per-key skew is bounded by a user's own history. The reference
+    side is pre-deduped per (user, ts) with max(cents) so ties are
+    deterministic in both engines; at equal timestamps tag order
+    makes the click visible to the probe row, matching DuckDB ASOF's
+    ``>=`` semantics (the oracle exercises DuckDB's NATIVE ASOF JOIN —
+    an independent algorithm for the same semantics)."""
+    e = _e(spark, sf_dir)
+    ref = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("cents").alias("bc"))
+        .select(
+            "user_id",
+            "ts_us",
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            "bc",
+        )
+    )
+    probe = e.filter(F.col("event_type") != "click").select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("tag"),
+        "event_id",
+        "event_type",
+        F.lit(None).cast("long").alias("bc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = (
+        probe.unionByName(ref)
+        .withColumn("click_cents", F.last("bc", ignorenulls=True).over(w))
+        .withColumn(
+            "click_ts_us",
+            F.last(
+                F.when(F.col("tag") == 0, F.col("ts_us")), ignorenulls=True
+            ).over(w),
+        )
+    )
+    return u.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        "click_cents",
+        (F.col("ts_us") - F.col("click_ts_us")).alias("staleness_us"),
+    )
+
+
+# =====================================================================
+# Gaps and islands (activity segments; scene-availability runs)
+# =====================================================================
+
+@_q(
+    "gaps_islands_user",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, {_SQL_US} AS ts_us, {_SQL_CENTS} AS cents,
+             lag({_SQL_US}) OVER (
+               PARTITION BY user_id ORDER BY {_SQL_US}, event_id
+             ) AS prev_us
+      FROM events
+    ), f AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > {_GAP_US} THEN 1 ELSE 0 END AS ni
+      FROM o
+    ), i AS (
+      SELECT *, sum(ni) OVER (
+        PARTITION BY user_id ORDER BY ts_us, event_id
+        ROWS UNBOUNDED PRECEDING
+      ) AS island_id
+      FROM f
+    )
+    SELECT user_id, cast(island_id AS bigint) AS island_id,
+           min(ts_us) AS start_us, max(ts_us) AS end_us,
+           cast(count(*) AS bigint) AS n_events,
+           max(ts_us) - min(ts_us) AS duration_us,
+           cast(sum(cents) AS bigint) AS sum_cents
+    FROM i GROUP BY 1, 2
+    """,
+)
+def gaps_islands_user(spark, sf_dir):
+    """Gaps-and-islands segmentation: per user, consecutive events
+    closer than 6 h form one island; emit each island's bounds, size,
+    duration and value total (reference analog: runs of usable scenes
+    between cloud gaps drive which segments get interpolated,
+    src/04_reconstruct_s2_traits.py:162).
+
+    Differs from the sessionize query (catalog.py) in output grain —
+    sessionize numbers events, this aggregates PER ISLAND with exact
+    integer bounds/teams — and in being the named SQL-idiom twin
+    (lag -> boundary flag -> running sum -> group), which Catalyst
+    executes as ONE shuffle by user reused by both windows and the
+    final aggregate (the windows and groupBy share partitioning).
+    Everything is BIGINT µs / cents: no float anywhere, so results are
+    partition- and engine-exact at any scale."""
+    e = _e(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = (
+        e.withColumn("prev_us", F.lag("ts_us").over(wo))
+        .withColumn(
+            "ni",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > _GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island_id", F.sum("ni").over(wrun))
+    )
+    return seg.groupBy("user_id", "island_id").agg(
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+# =====================================================================
+# Time-weighted average (TimescaleDB time_weight 'LOCF')
+# =====================================================================
+
+@_q(
+    "time_weighted_avg_daily",
+    f"""
+    WITH o AS (
+      SELECT event_type,
+             cast(floor(floor(epoch(ts)) / 86400) * 86400 AS bigint)
+               AS day_ts,
+             {_SQL_US} AS ts_us, {_SQL_CENTS} AS cents, event_id
+      FROM events
+    ), d AS (
+      SELECT *, lead(ts_us) OVER (
+        PARTITION BY event_type, day_ts ORDER BY ts_us, event_id
+      ) - ts_us AS dt_us
+      FROM o
+    )
+    SELECT event_type, day_ts,
+           cast(count(*) AS bigint) AS n_events,
+           cast(sum(cents * dt_us) AS bigint) AS num_cents_us,
+           max(ts_us) - min(ts_us) AS den_us,
+           round(1e-9 + (cast(sum(cents * dt_us) AS bigint)
+                         / (max(ts_us) - min(ts_us))) / 100.0, 4) AS twa
+    FROM d GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def time_weighted_avg_daily(spark, sf_dir):
+    """Time-weighted average per (event_type, day): the LOCF integral
+    of the value step-function between the bucket's first and last
+    observation, divided by that span — TimescaleDB's
+    ``time_weight('LOCF')``; the honest mean for irregularly sampled
+    series where the arithmetic mean over-weights bursts (reference
+    analog: daily resampling of irregular hourly covariates,
+    src/04_reconstruct_s2_traits.py:397).
+
+    Exactness: the integral is sum(cents * dt_µs) — a pure BIGINT sum.
+    Its magnitude is bounded by max_cents x bucket_span_µs ~= 4e15 per
+    group REGARDLESS of row count (the dt's telescope to the span), so
+    it never overflows at any scale and is exact regardless of
+    partial-aggregation order. The only float math is the final
+    division of two exact integers (surfaced alongside as num/den so
+    the hash also pins the integer pair). One shuffle on
+    (event_type, day): the lead() window and the aggregate share it."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (
+            F.floor(F.col("ts").cast("timestamp").cast("long") / 86400) * 86400
+        ).cast("long").alias("day_ts"),
+        F.expr(_US).alias("ts_us"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "day_ts").orderBy(
+        "ts_us", "event_id"
+    )
+    d = e.withColumn("dt_us", F.lead("ts_us").over(w) - F.col("ts_us"))
+    num = F.sum(F.col("cents") * F.col("dt_us"))
+    den = F.max("ts_us") - F.min("ts_us")
+    return (
+        d.groupBy("event_type", "day_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            num.alias("num_cents_us"),
+            den.alias("den_us"),
+            F.round(
+                F.lit(1e-9) + (num / den) / F.lit(100.0), 4
+            ).alias("twa"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+
+
+# =====================================================================
+# Counter-reset-aware increase (Prometheus increase()/rate())
+# =====================================================================
+
+@_q(
+    "counter_rate_daily",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id,
+             cast(floor(floor(epoch(ts)) / 86400) * 86400 AS bigint)
+               AS day_ts,
+             {_SQL_US} AS ts_us, {_SQL_CENTS} AS cents
+      FROM events
+    ), d AS (
+      SELECT *, cents - lag(cents) OVER (
+        PARTITION BY user_id ORDER BY ts_us, event_id
+      ) AS diff
+      FROM o
+    )
+    SELECT user_id, day_ts,
+           cast(count(*) AS bigint) AS n_samples,
+           cast(sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS bigint)
+             AS n_resets,
+           cast(sum(CASE WHEN diff < 0 THEN cents ELSE diff END) AS bigint)
+             AS total_inc_cents
+    FROM d GROUP BY 1, 2
+    """,
+)
+def counter_rate_daily(spark, sf_dir):
+    """Counter-reset-aware increase per (user, day): Prometheus's
+    ``increase()`` rule — a drop in a cumulative counter means the
+    counter reset, so the post-reset sample counts in full (the repo's
+    monotone-diff query, catalog.py lag_diff_monotone, DROPS resets;
+    this is the correcting twin a metrics user actually wants).
+
+    The lag window runs per user over the full history (resets must be
+    detected across day boundaries), then aggregates re-group by
+    (user, day of the CURRENT sample) — Prometheus bucket semantics.
+    All arithmetic is BIGINT cents: the per-row correction and both
+    sums are exact at any partitioning. A user's first-ever sample has
+    NULL diff and contributes to neither sum in either engine (CASE on
+    NULL takes ELSE in both; sum skips the NULL diff). One shuffle by
+    user; the (user, day) regroup is map-side local because day nests
+    inside the user partitioning."""
+    e = _e(spark, sf_dir).withColumn(
+        "day_ts",
+        (F.floor(F.col("ts_us") / _DAY_US) * 86400).cast("long"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = e.withColumn("diff", F.col("cents") - F.lag("cents").over(w))
+    return d.groupBy("user_id", "day_ts").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.when(F.col("diff") < 0, 1).otherwise(0)).alias("n_resets"),
+        F.sum(
+            F.when(F.col("diff") < 0, F.col("cents")).otherwise(F.col("diff"))
+        ).alias("total_inc_cents"),
+    )
+
+
+# =====================================================================
+# LTTB downsample (Steinarsson 2013, largest-triangle-three-buckets)
+# =====================================================================
+
+_LTTB_K = 8  # interior buckets -> K + 2 output points per series
+
+
+def _lttb_oracle_sql(k: int) -> str:
+    """Chained-CTE LTTB: sel_{r+1} = argmax-area point of bucket r
+    given sel_r and bucket r+1's centroid. CTEs are AS MATERIALIZED —
+    DuckDB re-inlines referenced CTEs, which would re-evaluate the
+    whole chain per UNION branch (the BPE-oracle lesson)."""
+    area = (
+        "abs((s.px * {c} - {sx}) * (c.y - s.py)"
+        " - (s.px - c.x) * ({sy} - {c} * s.py))"
+    )
+    parts = [
+        f"""
+    WITH base AS MATERIALIZED (
+      SELECT event_type, event_id,
+             cast(floor(epoch(ts)) AS bigint)
+               - min(cast(floor(epoch(ts)) AS bigint))
+                   OVER (PARTITION BY event_type) AS x,
+             {_SQL_CENTS} AS y,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY {_SQL_US}, event_id
+             ) - 1 AS idx,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), bkt AS MATERIALIZED (
+      SELECT *, ((idx - 1) * {k}) // (n - 2) AS b
+      FROM base WHERE idx >= 1 AND idx <= n - 2
+    ), sums AS MATERIALIZED (
+      SELECT event_type, b, sum(x) AS sx, sum(y) AS sy,
+             cast(count(*) AS bigint) AS c
+      FROM bkt GROUP BY 1, 2
+    ), lastp AS MATERIALIZED (
+      SELECT event_type, x AS lx, y AS ly, event_id AS lid
+      FROM base WHERE idx = n - 1
+    ), sel0 AS MATERIALIZED (
+      SELECT event_type, x AS px, y AS py, event_id AS pid
+      FROM base WHERE idx = 0
+    )"""
+    ]
+    for r in range(k):
+        if r < k - 1:
+            nxt = f"JOIN sums nx ON nx.event_type = c.event_type AND nx.b = {r + 1}"
+            a = area.format(c="nx.c", sx="nx.sx", sy="nx.sy")
+        else:
+            nxt = "JOIN lastp nx ON nx.event_type = c.event_type"
+            a = area.format(c="1", sx="nx.lx", sy="nx.ly")
+        parts.append(
+            f""", sel{r + 1} AS MATERIALIZED (
+      SELECT c.event_type, c.x AS px, c.y AS py, c.event_id AS pid
+      FROM bkt c
+      JOIN sel{r} s ON c.event_type = s.event_type
+      {nxt}
+      WHERE c.b = {r}
+      QUALIFY row_number() OVER (
+        PARTITION BY c.event_type
+        ORDER BY {a} DESC, c.x ASC, c.event_id ASC
+      ) = 1
+    )"""
+        )
+    sel_union = "\n    UNION ALL ".join(
+        f"SELECT event_type, cast({r} AS bigint) AS sel_order, px AS x,"
+        f" py AS y, pid AS event_id FROM sel{r}"
+        for r in range(k + 1)
+    )
+    parts.append(
+        f"""
+    {sel_union}
+    UNION ALL SELECT event_type, cast({k + 1} AS bigint) AS sel_order,
+                     lx AS x, ly AS y, lid AS event_id FROM lastp"""
+    )
+    return "".join(parts)
+
+
+@_q("lttb_downsample", _lttb_oracle_sql(_LTTB_K))
+def lttb_downsample(spark, sf_dir):
+    """LTTB downsampling (Steinarsson 2013): per event_type series,
+    keep first + last + the point of each of K=8 equal-count interior
+    buckets that maximizes the triangle area with the previously kept
+    point and the next bucket's centroid — the standard
+    shape-preserving reduction for plotting (reference analog: the
+    reconstructed trait plots of src/04_reconstruct_s2_traits.py:45
+    render full series; at warehouse scale one downsamples first).
+
+    Spark-first formulation: the selection is sequential ACROSS
+    buckets but embarrassingly parallel across series and within a
+    bucket, so instead of one-task-per-series (the applyInPandas trap
+    — a 10^9-point series would serialize), this runs K tiny driver
+    rounds like the repo's BPE/k-means loops: each round broadcasts
+    the K previously-selected points (one row per series), scores the
+    round's bucket with a window argmax, and localCheckpoints the
+    1-row-per-series state. The bucketed base is localCheckpoint-ed
+    ONCE; every round is a broadcast join + window over ~1/K of the
+    data, so total cost is ~2 scans of the series regardless of K.
+
+    Exactness: x = whole seconds from the series start (<= 2.6e6 in
+    the fixtures), y = cents (<= 4.9e4); the centroid is cleared of
+    its 1/c denominator by scaling the area formula by c, so the
+    triangle comparison is PURE BIGINT (|terms| <= ~1e15 even at
+    100x fixture density — no overflow, no float, no cross-engine
+    argmax flips). Ties break on (x, event_id)."""
+    k = _LTTB_K
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("cast(floor(cast(cast(ts as timestamp) as long)) as bigint)")
+        .alias("xs"),
+        F.expr(_CENTS).alias("y"),
+        F.expr(_US).alias("ts_us"),
+    )
+    wt = Window.partitionBy("event_type")
+    base = e.select(
+        "event_type",
+        "event_id",
+        (F.col("xs") - F.min("xs").over(wt)).alias("x"),
+        "y",
+        (
+            F.row_number().over(wt.orderBy("ts_us", "event_id")) - 1
+        ).alias("idx"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    ).localCheckpoint()
+    bkt = base.filter(
+        (F.col("idx") >= 1) & (F.col("idx") <= F.col("n") - 2)
+    ).withColumn("b", F.expr(f"((idx - 1) * {k}) div (n - 2)"))
+    sums = bkt.groupBy("event_type", "b").agg(
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.count(F.lit(1)).alias("c"),
+    ).localCheckpoint()
+    lastp = base.filter(F.col("idx") == F.col("n") - 1).select(
+        "event_type",
+        F.col("x").alias("lx"),
+        F.col("y").alias("ly"),
+        F.col("event_id").alias("lid"),
+    ).localCheckpoint()
+
+    sel = base.filter(F.col("idx") == 0).select(
+        "event_type",
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+        F.col("event_id").alias("pid"),
+    ).localCheckpoint()
+    out = [
+        sel.select(
+            "event_type",
+            F.lit(0).cast("long").alias("sel_order"),
+            F.col("px").alias("x"),
+            F.col("py").alias("y"),
+            F.col("pid").alias("event_id"),
+        )
+    ]
+    for r in range(k):
+        cand = bkt.filter(F.col("b") == r).join(
+            F.broadcast(sel), "event_type"
+        )
+        if r < k - 1:
+            cand = cand.join(
+                F.broadcast(sums.filter(F.col("b") == r + 1).select(
+                    "event_type", "sx", "sy", "c"
+                )),
+                "event_type",
+            )
+        else:
+            cand = cand.join(F.broadcast(lastp), "event_type").select(
+                "*",
+                F.col("lx").alias("sx"),
+                F.col("ly").alias("sy"),
+                F.lit(1).cast("long").alias("c"),
+            )
+        area = F.abs(
+            (F.col("px") * F.col("c") - F.col("sx")) * (F.col("y") - F.col("py"))
+            - (F.col("px") - F.col("x")) * (F.col("sy") - F.col("c") * F.col("py"))
+        )
+        sel = (
+            cand.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy(
+                        area.desc(), F.col("x").asc(), F.col("event_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "event_type",
+                F.col("x").alias("px"),
+                F.col("y").alias("py"),
+                F.col("event_id").alias("pid"),
+            )
+            .localCheckpoint()
+        )
+        out.append(
+            sel.select(
+                "event_type",
+                F.lit(r + 1).cast("long").alias("sel_order"),
+                F.col("px").alias("x"),
+                F.col("py").alias("y"),
+                F.col("pid").alias("event_id"),
+            )
+        )
+    out.append(
+        lastp.select(
+            "event_type",
+            F.lit(k + 1).cast("long").alias("sel_order"),
+            F.col("lx").alias("x"),
+            F.col("ly").alias("y"),
+            F.col("lid").alias("event_id"),
+        )
+    )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+# =====================================================================
+# EWMA (grid-snapped exponential smoothing, JVM array fold)
+# =====================================================================
+
+@_q(
+    "ewma_user_fold",
+    f"""
+    WITH RECURSIVE o AS MATERIALIZED (
+      SELECT user_id, event_id, {_SQL_US} AS ts_us, {_SQL_CENTS} AS cents,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY {_SQL_US}, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), r AS (
+      SELECT user_id, rn, n, cast(cents AS double) AS s
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.n,
+             floor((0.25 * o.cents + 0.75 * r.s) * 1024 + 0.5) / 1024 AS s
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, cast(n AS bigint) AS n_events,
+           round(1e-9 + s / 100.0, 4) AS ewma
+    FROM r WHERE rn = n
+    """,
+)
+def ewma_user_fold(spark, sf_dir):
+    """Per-user EWMA (alpha=1/4) over the time-ordered value series,
+    snapped to the 2^-10 grid each step — exponential smoothing is the
+    simplest of the reference's recursive state estimators (the EnKF,
+    src/ensemble_kalman_filter.py, is the heavy twin already ported in
+    operators/enkf.py).
+
+    Exactness by construction (the ivf_train_kmeans house rule):
+    inputs are integer cents <= ~5e4, alpha is a power of two, and the
+    state is re-snapped to the 2^-10 grid after every step, so
+    0.25*v (exact), 0.75*s (exact: 3 * s/4 with s = k/1024,
+    k <= 5.2e7 << 2^53) and their sum are ALL exact IEEE doubles — the
+    snap never actually rounds, it just pins the invariant. The
+    recursion order is fixed by the sort, not by partitioning, and
+    both engines execute identical single IEEE ops, so results are
+    bit-identical at any parallelism.
+
+    Spark-first: no Python and no per-row UDF — collect_list per user,
+    array_sort (lexicographic on (ts_us, event_id, cents) makes the
+    fold order deterministic), then F.aggregate's JVM fold. ONE
+    shuffle by user; per-user state is one double. The per-entity
+    array is bounded by a user's own history (same contract as
+    sessionize/EnKF); the oracle is a DuckDB RECURSIVE CTE — an
+    independent evaluation strategy for the same recurrence."""
+    e = _e(spark, sf_dir)
+    arr = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "cents"))
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(0))),
+        F.element_at(F.col("a"), 1)["cents"].cast("double"),
+        lambda acc, x: F.floor(
+            (0.25 * x["cents"] + 0.75 * acc) * 1024 + F.lit(0.5)
+        ) / F.lit(1024.0),
+    )
+    return arr.select(
+        "user_id",
+        "n_events",
+        F.round(F.lit(1e-9) + fold / F.lit(100.0), 4).alias("ewma"),
+    )

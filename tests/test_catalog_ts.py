@@ -1,0 +1,145 @@
+"""Property tests for the ordered-timeseries batch (catalog_ts.py).
+
+Oracle equality is covered by tools/check_contract.py and the driver
+gate; these pin the semantic invariants each operator promises, plus
+partition-invariance for the queries whose docstrings claim exactness
+by construction.
+"""
+
+import pandas as pd
+import pytest
+
+from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES
+import sentinel2_crop_trait_timeseries_spark.catalog_ts as cts  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return QUERIES[name]["fn"](spark, SF).toPandas()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .toPandas()
+        .assign(
+            ts_us=lambda d: d.ts.astype("datetime64[us]").astype("int64"),
+            cents=lambda d: (d.value * 100).round().astype("int64"),
+        )
+    )
+
+
+def test_asof_matches_pandas_merge_asof(spark, events):
+    got = _run(spark, "asof_join_clicks").sort_values("event_id")
+    probe = events[events.event_type != "click"].sort_values("ts_us")
+    ref = (
+        events[events.event_type == "click"]
+        .groupby(["user_id", "ts_us"], as_index=False)
+        .agg(bc=("cents", "max"))
+        .sort_values("ts_us")
+    )
+    exp = pd.merge_asof(
+        probe, ref, on="ts_us", by="user_id", direction="backward"
+    ).sort_values("event_id")
+    assert len(got) == len(probe)
+    assert got.event_id.tolist() == exp.event_id.tolist()
+    pd.testing.assert_series_equal(
+        got.click_cents.reset_index(drop=True),
+        exp.bc.reset_index(drop=True),
+        check_names=False,
+        check_dtype=False,
+    )
+    st = got.staleness_us.dropna()
+    assert (st >= 0).all()
+
+
+def test_gaps_islands_partition_events(spark, events):
+    got = _run(spark, "gaps_islands_user")
+    # islands partition each user's events exactly
+    per_user = got.groupby("user_id").n_events.sum()
+    exp = events.groupby("user_id").size()
+    assert per_user.sort_index().tolist() == exp.sort_index().tolist()
+    # within-island span matches, islands separated by > threshold
+    for uid, g in got.groupby("user_id"):
+        g = g.sort_values("start_us")
+        assert (g.duration_us == g.end_us - g.start_us).all()
+        gaps = g.start_us.values[1:] - g.end_us.values[:-1]
+        assert (gaps > cts._GAP_US).all()
+
+
+def test_twa_bounded_by_value_range(spark, events):
+    got = _run(spark, "time_weighted_avg_daily")
+    day = (events.ts_us // cts._DAY_US) * 86400
+    lo = events.assign(day_ts=day).groupby(["event_type", "day_ts"]).value.min()
+    hi = events.assign(day_ts=day).groupby(["event_type", "day_ts"]).value.max()
+    m = got.set_index(["event_type", "day_ts"])
+    assert (m.twa >= lo.loc[m.index] - 1e-4).all()
+    assert (m.twa <= hi.loc[m.index] + 1e-4).all()
+    assert (m.den_us > 0).all()
+    assert (m.n_events >= 2).all()
+
+
+def test_counter_rate_reset_rule(spark, events):
+    got = _run(spark, "counter_rate_daily")
+    assert (got.n_resets <= got.n_samples).all()
+    inc = got.total_inc_cents.dropna()
+    assert (inc >= 0).all()
+    # total increase across all days == sum of per-row corrections
+    s = events.sort_values(["user_id", "ts_us", "event_id"])
+    s["diff"] = s.groupby("user_id").cents.diff()
+    corr = s["diff"].where(s["diff"] >= 0, s.cents)[s["diff"].notna()]
+    assert int(inc.sum()) == int(corr.sum())
+
+
+def test_lttb_shape_and_anchors(spark, events):
+    got = _run(spark, "lttb_downsample")
+    k = cts._LTTB_K
+    for et, g in got.groupby("event_type"):
+        g = g.sort_values("sel_order")
+        assert g.sel_order.tolist() == list(range(k + 2))
+        # x nondecreasing: buckets are ordered by time
+        assert (g.x.diff().dropna() >= 0).all()
+        ev = events[events.event_type == et].sort_values(
+            ["ts_us", "event_id"]
+        )
+        assert g.iloc[0].event_id == ev.iloc[0].event_id
+        assert g.iloc[-1].event_id == ev.iloc[-1].event_id
+
+
+def test_ewma_bounds_and_single_event_user(spark, events):
+    got = _run(spark, "ewma_user_fold").set_index("user_id")
+    lo = events.groupby("user_id").value.min()
+    hi = events.groupby("user_id").value.max()
+    assert (got.ewma >= lo.loc[got.index] - 1e-3).all()
+    assert (got.ewma <= hi.loc[got.index] + 1e-3).all()
+    n = events.groupby("user_id").size()
+    assert got.n_events.sort_index().tolist() == n.sort_index().tolist()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "asof_join_clicks",
+        "gaps_islands_user",
+        "time_weighted_avg_daily",
+        "counter_rate_daily",
+        "lttb_downsample",
+        "ewma_user_fold",
+    ],
+)
+def test_partition_invariance(spark, name):
+    """The exactness-by-construction claim: identical results at any
+    shuffle width / input partitioning."""
+    a = _run(spark, name)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = QUERIES[name]["fn"](spark, SF).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
