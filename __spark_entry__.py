@@ -95,13 +95,12 @@ _HEAD = [
     "counter_rate_daily",
     "lttb_downsample",
     "ewma_user_fold",
+    "rolling_median_user",
+    "cusum_changepoint_user",
+    "mixture_token_budget",
     # --- brand-new queries are inserted HERE by _ordered() ---
-    # stable fills (driver-green in CORRECTNESS_r04, unchanged): each
-    # new query added this round displaces one fill from the window
-    # edge; fills re-verify flagship paths when slots remain
-    "gapfill_dose_response",
-    "dedup_minhash_lsh",
-    "dedup_components",
+    # (no stable fills left this round: 12 new + 2 changed queries +
+    # 36 rotated-in r4-tail entries fill the window exactly)
 ]
 _TAIL = [
     # all driver-green in CORRECTNESS_r04.json, unchanged since;
@@ -151,6 +150,9 @@ _TAIL = [
     "gorilla_roundtrip",
     "bpe_train_merges",
     "pack_chunks_manifest",
+    "gapfill_dose_response",
+    "dedup_minhash_lsh",
+    "dedup_components",
 ]
 
 assert len(_HEAD) == _WINDOW, (

@@ -103,6 +103,9 @@ HEADLINE = [
     "counter_rate_daily",
     "lttb_downsample",
     "ewma_user_fold",
+    "rolling_median_user",
+    "cusum_changepoint_user",
+    "mixture_token_budget",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -3571,3 +3571,77 @@ def curation_pipeline_counts(spark, sf_dir):
         .unionByName(packed)
         .unionByName(sharded)
     )
+
+
+# =====================================================================
+# Token-budgeted mixture resampling (uniform-mixture downsample)
+# =====================================================================
+
+@_q(
+    "mixture_token_budget",
+    r"""
+    WITH t AS (
+      SELECT source, doc_id,
+             cast(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS bigint) AS tok,
+             cast('0x' || substr(md5('mix:' || cast(doc_id AS varchar)),
+                                 1, 15) AS bigint) AS h
+      FROM documents
+    ), tot AS (
+      SELECT source, sum(tok) AS st FROM t GROUP BY 1
+    ), b AS (
+      SELECT cast(min(st) AS bigint) AS budget FROM tot
+    ), c AS (
+      SELECT t.*, cast(sum(tok) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS bigint) AS cum_tok
+      FROM t
+    )
+    SELECT c.source, c.doc_id, c.tok, c.cum_tok, b.budget
+    FROM c, b WHERE c.cum_tok <= b.budget
+    """,
+)
+def mixture_token_budget(spark, sf_dir):
+    """Token-budgeted mixture resampling: downsample every source to
+    the TOKEN count of the smallest source (uniform mixture), keeping
+    a deterministic hash-ranked prefix of each source's docs while the
+    running token total stays within budget. This is the op that
+    MATERIALIZES a mixture: source_mixture_weights (above) computes
+    the natural proportions; a pretraining run then needs an exact,
+    reproducible subset hitting the target proportions in TOKENS (docs
+    differ wildly in length, so doc-count quotas don't give token
+    quotas).
+
+    Scale shape: one narrow map for (tok, h), a tiny per-source total
+    (map-side combined), a 1-row broadcast budget, and ONE window
+    cumsum per source — the same per-stratum-prefix-sum shape as
+    shard_shuffle_assign; no global sort, no join by anything wide.
+    All arithmetic is BIGINT token counts and the shared 60-bit md5
+    hash (identical in both engines), so the kept set is exact and
+    engine-independent. The cum_tok <= budget rule admits no partial
+    doc; the budget utilisation loss is at most one doc per source."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).cast("long").alias("tok"),
+        _h(
+            F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    tot = t.groupBy("source").agg(F.sum("tok").alias("st"))
+    budget = tot.agg(F.min("st").alias("budget"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tok", F.sum("tok").over(w))
+    return (
+        c.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tok") <= F.col("budget"))
+        .select("source", "doc_id", "tok", "cum_tok", "budget")
+    )

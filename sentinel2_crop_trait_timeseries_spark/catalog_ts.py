@@ -643,3 +643,182 @@ def ewma_user_fold(spark, sf_dir):
         "n_events",
         F.round(F.lit(1e-9) + fold / F.lit(100.0), 4).alias("ewma"),
     )
+
+
+# =====================================================================
+# Rolling exact median (sliding-window robust smoother)
+# =====================================================================
+
+_ROLL_WIN = 10  # preceding rows in the sliding frame
+
+
+@_q(
+    "rolling_median_user",
+    f"""
+    SELECT user_id, event_id, ts_us, cents,
+           cast(len(l) AS bigint) AS n_win,
+           l[(len(l) + 1) // 2] + l[len(l) // 2 + 1] AS med_x2_cents
+    FROM (
+      SELECT user_id, event_id, {_SQL_US} AS ts_us, {_SQL_CENTS} AS cents,
+             list_sort(list({_SQL_CENTS}) OVER (
+               PARTITION BY user_id ORDER BY {_SQL_US}, event_id
+               ROWS BETWEEN {_ROLL_WIN} PRECEDING AND CURRENT ROW
+             )) AS l
+      FROM events
+    )
+    """,
+)
+def rolling_median_user(spark, sf_dir):
+    """Sliding-window EXACT median per user (frame = current row + the
+    10 preceding, _ROLL_WIN): the robust smoother the reference's NMAD
+    outlier screen is built on (median-based filtering of raw trait
+    trajectories, src/03_generate_raw_s2_trait_trajectories.py), here
+    as the rolling variant a monitoring user expects.
+
+    Exactness: the median is surfaced DOUBLED (lower-mid + upper-mid of
+    the sorted window, a pure BIGINT — equal to 2*median for both
+    parities), so there is NO float anywhere and no half-cent rounding
+    hazard. Spark computes it as sort_array(collect_list) over the row
+    frame + two element_at picks — JVM only; the frame is bounded
+    (_ROLL_WIN + 1 = 11 rows), so per-row state is O(window), not
+    O(user).
+    One shuffle by user shared with the ordering window. The oracle is
+    DuckDB's windowed list() — an independent holistic-window
+    implementation."""
+    e = _e(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-_ROLL_WIN, 0)
+    )
+    d = e.withColumn(
+        "l", F.sort_array(F.collect_list("cents").over(w))
+    ).withColumn("n_win", F.size("l").cast("long"))
+    lo = F.element_at("l", ((F.col("n_win") + 1) / 2).cast("int"))
+    hi = F.element_at("l", (F.col("n_win") / 2 + 1).cast("int"))
+    return d.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "cents",
+        "n_win",
+        (lo + hi).alias("med_x2_cents"),
+    )
+
+
+# =====================================================================
+# CUSUM changepoint detector (Page 1954), exact integer state
+# =====================================================================
+
+_CUSUM_K = 30_000   # allowance, in 2x-cents units ($150)
+_CUSUM_H = 200_000  # alarm threshold, in 2x-cents units ($1000)
+
+
+@_q(
+    "cusum_changepoint_user",
+    f"""
+    WITH RECURSIVE o AS MATERIALIZED (
+      SELECT user_id, event_id, ts_us, cents,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             l[(len(l) + 1) // 2] + l[len(l) // 2 + 1] AS target_x2
+      FROM (
+        SELECT user_id, event_id, {_SQL_US} AS ts_us,
+               {_SQL_CENTS} AS cents,
+               list_sort(list({_SQL_CENTS})
+                 OVER (PARTITION BY user_id)) AS l
+        FROM events
+      )
+    ), r AS (
+      SELECT user_id, 0 AS rn, n, cast(0 AS bigint) AS s,
+             cast(0 AS bigint) AS n_over, cast(NULL AS bigint) AS first_ts,
+             cast(0 AS bigint) AS max_s
+      FROM (SELECT DISTINCT user_id, n FROM o)
+      UNION ALL
+      SELECT o.user_id, o.rn, o.n,
+             greatest(0, r.s + (2 * o.cents - o.target_x2) - {_CUSUM_K})
+               AS s,
+             r.n_over + CASE WHEN greatest(0, r.s + (2 * o.cents
+               - o.target_x2) - {_CUSUM_K}) > {_CUSUM_H}
+               THEN 1 ELSE 0 END AS n_over,
+             coalesce(r.first_ts, CASE WHEN greatest(0, r.s + (2 * o.cents
+               - o.target_x2) - {_CUSUM_K}) > {_CUSUM_H}
+               THEN o.ts_us END) AS first_ts,
+             greatest(r.max_s, greatest(0, r.s + (2 * o.cents
+               - o.target_x2) - {_CUSUM_K})) AS max_s
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, cast(n AS bigint) AS n_events, n_over,
+           first_ts AS first_over_ts_us, max_s AS max_s_x2
+    FROM r WHERE rn = n
+    """,
+)
+def cusum_changepoint_user(spark, sf_dir):
+    """One-sided CUSUM changepoint detector (Page 1954) per user:
+    s_i = max(0, s_(i-1) + (x_i - target) - allowance), alarm while
+    s > threshold — the classic sequential upward-shift monitor
+    (reference analog: the EnKF is the reference's sequential state
+    tracker; CUSUM is its alarm-grade sibling). Target = the user's
+    full-history exact median.
+
+    Exactness: the whole recursion runs in 2x-cents BIGINTs (the
+    doubled-median trick keeps the target integral), so state,
+    alarm counts, and max excursion are exact at any partitioning —
+    no float enters the query at all. Spark-first: per-user
+    array_sort(collect_list) + ONE JVM F.aggregate fold carrying a
+    4-field struct accumulator (state, alarm-sample count, first alarm
+    ts, max excursion); one shuffle by user, no Python, per-user state
+    is one struct. Oracle: DuckDB recursive CTE re-runs the recursion
+    independently."""
+    e = _e(spark, sf_dir)
+    arr = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "cents"))
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(F.collect_list("cents")).alias("lc"),
+    )
+    n = F.size("lc").cast("long")
+    target_x2 = F.element_at("lc", ((n + 1) / 2).cast("int")) + F.element_at(
+        "lc", (n / 2 + 1).cast("int")
+    )
+    arr = arr.withColumn("target_x2", target_x2).drop("lc")
+
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("s"),
+        zero.alias("n_over"),
+        F.lit(None).cast("long").alias("first_ts"),
+        zero.alias("max_s"),
+    )
+
+    def step(acc, x):
+        s2 = F.greatest(
+            F.lit(0).cast("long"),
+            acc["s"]
+            + (2 * x["cents"] - F.col("target_x2"))
+            - F.lit(_CUSUM_K).cast("long"),
+        )
+        over = s2 > F.lit(_CUSUM_H).cast("long")
+        return F.struct(
+            s2.alias("s"),
+            (
+                acc["n_over"]
+                + F.when(over, F.lit(1).cast("long")).otherwise(zero)
+            ).alias("n_over"),
+            F.coalesce(
+                acc["first_ts"], F.when(over, x["ts_us"])
+            ).alias("first_ts"),
+            F.greatest(acc["max_s"], s2).alias("max_s"),
+        )
+
+    fold = F.aggregate(F.col("a"), init, step)
+    return arr.select(
+        "user_id",
+        "n_events",
+        fold["n_over"].alias("n_over"),
+        fold["first_ts"].alias("first_over_ts_us"),
+        fold["max_s"].alias("max_s_x2"),
+    )

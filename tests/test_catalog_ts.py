@@ -127,6 +127,9 @@ def test_ewma_bounds_and_single_event_user(spark, events):
         "counter_rate_daily",
         "lttb_downsample",
         "ewma_user_fold",
+        "rolling_median_user",
+        "cusum_changepoint_user",
+        "mixture_token_budget",
     ],
 )
 def test_partition_invariance(spark, name):
@@ -143,3 +146,57 @@ def test_partition_invariance(spark, name):
     a = a[cols].sort_values(cols).reset_index(drop=True)
     b = b[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_rolling_median_matches_pandas(spark, events):
+    got = _run(spark, "rolling_median_user")
+    s = events.sort_values(["user_id", "ts_us", "event_id"])
+    exp = (
+        s.groupby("user_id")
+        .cents.rolling(cts._ROLL_WIN + 1, min_periods=1)
+        .median()
+        .reset_index(level=0, drop=True)
+    )
+    s = s.assign(exp_med=exp)
+    m = got.merge(s[["event_id", "exp_med"]], on="event_id")
+    assert len(m) == len(events)
+    assert (m.med_x2_cents == (m.exp_med * 2).round().astype("int64")).all()
+    assert (m.n_win <= cts._ROLL_WIN + 1).all()
+
+
+def test_cusum_matches_reference_loop(spark, events):
+    got = _run(spark, "cusum_changepoint_user").set_index("user_id")
+    for uid, g in events.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        lc = sorted(g.cents)
+        n = len(lc)
+        target = lc[(n + 1) // 2 - 1] + lc[n // 2]
+        s = n_over = max_s = 0
+        first = None
+        for _, r in g.iterrows():
+            s = max(0, s + (2 * r.cents - target) - cts._CUSUM_K)
+            if s > cts._CUSUM_H:
+                n_over += 1
+                first = first if first is not None else r.ts_us
+            max_s = max(max_s, s)
+        row = got.loc[uid]
+        assert row.n_over == n_over and row.max_s_x2 == max_s
+        assert (row.first_over_ts_us == first) or (
+            pd.isna(row.first_over_ts_us) and first is None
+        )
+
+
+def test_mixture_token_budget_properties(spark):
+    got = _run(spark, "mixture_token_budget")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    docs["tok"] = docs.text.str.split().str.len()
+    totals = docs.groupby("source").tok.sum()
+    budget = int(totals.min())
+    assert (got.budget == budget).all()
+    per_src = got.groupby("source").tok.sum()
+    assert (per_src <= budget).all()
+    # every source is represented (budget >= smallest source's total,
+    # whose own prefix fills it exactly)
+    assert set(per_src.index) == set(totals.index)
+    assert int(per_src.loc[totals.idxmin()]) == budget
+    assert (got.cum_tok <= got.budget).all()

@@ -17,11 +17,14 @@ Usage: python tools/bench_bpe_scale.py [k1,k2,...] (default 50,200)
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.bench_scaling_calibrated import probe_capacity  # noqa: E402
 
 from sentinel2_crop_trait_timeseries_spark.session import get_spark  # noqa: E402
 from sentinel2_crop_trait_timeseries_spark import catalog_docs  # noqa: E402
@@ -45,15 +48,21 @@ def main() -> None:
     # warm: JIT + parquet footers + the K=6 registered query's own path
     catalog_docs._bpe_chain(spark, SF_DIR, 6, with_stats=True)
 
+    pool = mp.Pool(32)
+    probe_capacity(pool)  # warm
     runs = []
     for k in ks:
+        p0 = probe_capacity(pool)
         t0 = time.perf_counter()
         v, rows = catalog_docs._bpe_chain(spark, SF_DIR, k, with_stats=True)
         sec = time.perf_counter() - t0
+        p1 = probe_capacity(pool)
         n_vocab = v.count()
         runs.append(
             {
                 "k_merges": k,
+                "probe_before_M_per_s": round(p0, 1),
+                "probe_after_M_per_s": round(p1, 1),
                 "merges_learned": len(rows),
                 "total_sec": round(sec, 2),
                 "sec_per_merge": round(sec / max(len(rows), 1), 3),
@@ -79,6 +88,7 @@ def main() -> None:
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {OUT}")
+    pool.close()
     spark.stop()
 
 
