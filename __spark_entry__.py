@@ -153,6 +153,11 @@ _TAIL = [
     "gapfill_dose_response",
     "dedup_minhash_lsh",
     "dedup_components",
+    # added mid-r5 AFTER the window filled (12 new queries already in
+    # _HEAD): locally 3-SF oracle-verified + CI tail-checked; MUST
+    # rotate into r6's _HEAD for their first driver rows
+    "funnel_steps_user",
+    "cohort_retention_weekly",
 ]
 
 assert len(_HEAD) == _WINDOW, (

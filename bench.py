@@ -112,10 +112,34 @@ HEADLINE = [
 ENGINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 
 
+def _probe_host() -> float:
+    """32-way CPU burn probe (M iters/s): this VM has minutes-scale
+    hypervisor throttle windows that swing job times 2-6x (healthy
+    reads ~280, throttled windows as low as ~63 — see
+    bench_results/bench_windows_r5*.json). Emitting the probe INSIDE
+    the bench JSON lets any reader normalize a slow artifact against
+    the host window it ran in instead of mistaking throttle for a plan
+    regression."""
+    import multiprocessing as mp
+
+    try:
+        from tools.bench_scaling_calibrated import probe_capacity
+
+        pool = mp.Pool(32)
+        try:
+            probe_capacity(pool, settle=1.0)  # warm
+            return round(probe_capacity(pool, settle=1.0), 1)
+        finally:
+            pool.close()
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    probe_before = _probe_host()
     spark = get_spark("s2tt_bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
 
@@ -221,6 +245,11 @@ def main() -> None:
             "gorilla_quantized_ratio_dense_hourly": ratio_hq,
         },
         "cpus": cpus,
+        "host_probe_M_per_s": {
+            "before": probe_before,
+            "after": _probe_host(),
+            "healthy_reference": 280.0,
+        },
     }
     print(json.dumps(out))
     spark.stop()

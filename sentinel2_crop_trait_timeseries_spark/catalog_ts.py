@@ -30,8 +30,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sentinel2_crop_trait_timeseries_spark.catalog import (
+    _SQL_WEEK,
     _q,
     _t,
+    _week_bucket,
 )
 
 # epoch microseconds / cent fixed-point helpers (Spark side)
@@ -821,4 +823,161 @@ def cusum_changepoint_user(spark, sf_dir):
         fold["n_over"].alias("n_over"),
         fold["first_ts"].alias("first_over_ts_us"),
         fold["max_s"].alias("max_s_x2"),
+    )
+
+
+# =====================================================================
+# Funnel analysis (ordered-sequence pattern: view -> click -> purchase)
+# =====================================================================
+
+@_q(
+    "funnel_steps_user",
+    f"""
+    WITH t1 AS (
+      SELECT user_id, min({_SQL_US}) AS view_us
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), t2 AS (
+      SELECT e.user_id, min({_SQL_US.replace('ts', 'e.ts')}) AS click_us
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click'
+        AND {_SQL_US.replace('ts', 'e.ts')} > t1.view_us
+      GROUP BY 1
+    ), t3 AS (
+      SELECT e.user_id, min({_SQL_US.replace('ts', 'e.ts')}) AS purchase_us
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase'
+        AND {_SQL_US.replace('ts', 'e.ts')} > t2.click_us
+      GROUP BY 1
+    ), u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, t1.view_us, t2.click_us, t3.purchase_us,
+           cast(CASE WHEN t3.purchase_us IS NOT NULL THEN 3
+                     WHEN t2.click_us IS NOT NULL THEN 2
+                     WHEN t1.view_us IS NOT NULL THEN 1
+                     ELSE 0 END AS bigint) AS reached
+    FROM u
+    LEFT JOIN t1 USING (user_id)
+    LEFT JOIN t2 USING (user_id)
+    LEFT JOIN t3 USING (user_id)
+    """,
+)
+def funnel_steps_user(spark, sf_dir):
+    """Funnel analysis (the SQL MATCH_RECOGNIZE idiom): per user, the
+    first 'view', the first 'click' strictly after it, the first
+    'purchase' strictly after that, and the step reached — the
+    ordered-sequence pattern every product-analytics warehouse ships
+    as a primitive.
+
+    Spark-first: the sequential pattern is ONE JVM F.aggregate fold
+    over the user's time-sorted event array (the EWMA/CUSUM house
+    shape) — one shuffle by user, no Python, no self-joins. The fold's
+    guards are written as explicit ts comparisons (click counts only
+    if ts > the matched view's ts), which makes it provably equal to
+    the oracle's independent 3-stage min()-chain formulation even at
+    equal-microsecond ties. All timestamps are exact BIGINT µs."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(_US).alias("ts_us"),
+        "event_id",
+        F.col("event_type").alias("etype"),
+    )
+    arr = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "etype"))
+        ).alias("a")
+    )
+    nil = F.lit(None).cast("long")
+    init = F.struct(nil.alias("t1"), nil.alias("t2"), nil.alias("t3"))
+
+    def step(acc, x):
+        t1 = F.coalesce(
+            acc["t1"], F.when(x["etype"] == "view", x["ts_us"])
+        )
+        t2 = F.coalesce(
+            acc["t2"],
+            F.when(
+                (x["etype"] == "click")
+                & acc["t1"].isNotNull()
+                & (x["ts_us"] > acc["t1"]),
+                x["ts_us"],
+            ),
+        )
+        t3 = F.coalesce(
+            acc["t3"],
+            F.when(
+                (x["etype"] == "purchase")
+                & acc["t2"].isNotNull()
+                & (x["ts_us"] > acc["t2"]),
+                x["ts_us"],
+            ),
+        )
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+
+    fold = F.aggregate(F.col("a"), init, step)
+    return arr.select(
+        "user_id",
+        fold["t1"].alias("view_us"),
+        fold["t2"].alias("click_us"),
+        fold["t3"].alias("purchase_us"),
+        F.when(fold["t3"].isNotNull(), 3)
+        .when(fold["t2"].isNotNull(), 2)
+        .when(fold["t1"].isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reached"),
+    )
+
+
+# =====================================================================
+# Cohort retention (signup week x activity-week offset)
+# =====================================================================
+
+@_q(
+    "cohort_retention_weekly",
+    f"""
+    WITH su AS (
+      SELECT user_id, min({_SQL_WEEK}) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), ac AS (
+      SELECT DISTINCT user_id, {_SQL_WEEK} AS wk FROM events
+    )
+    SELECT su.cohort_week,
+           (ac.wk - su.cohort_week) // 604800 AS offset_weeks,
+           cast(count(DISTINCT su.user_id) AS bigint) AS n_users
+    FROM su JOIN ac ON su.user_id = ac.user_id
+    WHERE ac.wk >= su.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention: users are cohorted by the
+    Monday-aligned week of their first 'signup' event; for each later
+    week in which a cohort member has ANY activity, count distinct
+    members — the triangle matrix behind every retention dashboard.
+
+    Plan: two shuffles, both necessary and both small — the per-user
+    cohort min and the (user, week) distinct share the user
+    partitioning (Catalyst reuses the exchange for the join), then the
+    final (cohort, offset) count-distinct re-aggregates rows already
+    reduced to one per (user, week). Weeks are the repo's tz-free
+    epoch arithmetic (catalog.py _week_bucket), offsets are exact
+    integer week counts — engine-identical at any scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        _week_bucket("ts").alias("wk"),
+        "event_type",
+    )
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_week"))
+    )
+    ac = ev.select("user_id", "wk").distinct()
+    return (
+        ac.join(su, "user_id")
+        .filter(F.col("wk") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            F.expr("(wk - cohort_week) div 604800").alias("offset_weeks"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
     )

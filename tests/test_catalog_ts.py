@@ -200,3 +200,48 @@ def test_mixture_token_budget_properties(spark):
     assert set(per_src.index) == set(totals.index)
     assert int(per_src.loc[totals.idxmin()]) == budget
     assert (got.cum_tok <= got.budget).all()
+
+
+def test_funnel_matches_reference_loop(spark, events):
+    got = _run(spark, "funnel_steps_user").set_index("user_id")
+    assert len(got) == events.user_id.nunique()
+    for uid, g in events.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        t1 = t2 = t3 = None
+        for _, r in g.iterrows():
+            if t1 is None and r.event_type == "view":
+                t1 = r.ts_us
+            elif (
+                t2 is None and r.event_type == "click"
+                and t1 is not None and r.ts_us > t1
+            ):
+                t2 = r.ts_us
+            elif (
+                t3 is None and r.event_type == "purchase"
+                and t2 is not None and r.ts_us > t2
+            ):
+                t3 = r.ts_us
+        row = got.loc[uid]
+        for col, exp in (
+            ("view_us", t1), ("click_us", t2), ("purchase_us", t3)
+        ):
+            assert (pd.isna(row[col]) and exp is None) or row[col] == exp
+        assert row.reached == (3 if t3 else 2 if t2 else 1 if t1 else 0)
+
+
+def test_cohort_retention_triangle(spark, events):
+    got = _run(spark, "cohort_retention_weekly")
+    assert (got.offset_weeks >= 0).all()
+    # offset-0 count = cohort size (every member is active in their
+    # signup week by definition — the signup event itself)
+    wk = ((events.ts_us // 1_000_000 // 86400 + 3) // 7 * 7 - 3) * 86400
+    e = events.assign(wk=wk)
+    cohort = (
+        e[e.event_type == "signup"].groupby("user_id").wk.min()
+    )
+    sizes = cohort.value_counts()
+    base = got[got.offset_weeks == 0].set_index("cohort_week").n_users
+    assert base.sort_index().tolist() == sizes.sort_index().tolist()
+    # retention never exceeds cohort size
+    m = got.set_index("cohort_week")
+    assert (m.n_users <= sizes.loc[m.index].values).all()
