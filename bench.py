@@ -106,6 +106,14 @@ HEADLINE = [
     "rolling_median_user",
     "cusum_changepoint_user",
     "mixture_token_budget",
+    # round-5 batch 3: funnel, cohort retention, bucket gap-fill
+    # (locf+interpolate), pivot, SCD2 intervals, streaming ASOF
+    "funnel_steps_user",
+    "cohort_retention_weekly",
+    "bucket_gapfill_locf",
+    "pivot_type_daily",
+    "scd2_segment_intervals",
+    "streaming_asof_probe",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -981,3 +981,353 @@ def cohort_retention_weekly(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# =====================================================================
+# Bucket gap-fill: LOCF + exact-integer linear interpolation
+# (TimescaleDB time_bucket_gapfill + locf() + interpolate())
+# =====================================================================
+
+@_q(
+    "bucket_gapfill_locf",
+    f"""
+    WITH obs AS (
+      SELECT event_type, day_idx,
+             cast(count(*) AS bigint) AS n_events, last_cents
+      FROM (
+        SELECT event_type,
+               cast(floor(floor(epoch(ts)) / 86400) AS bigint) AS day_idx,
+               {_SQL_CENTS} AS cents,
+               count(*) OVER (PARTITION BY event_type,
+                 cast(floor(floor(epoch(ts)) / 86400) AS bigint)) AS _n,
+               last_value({_SQL_CENTS}) OVER (
+                 PARTITION BY event_type,
+                   cast(floor(floor(epoch(ts)) / 86400) AS bigint)
+                 ORDER BY {_SQL_US}, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING
+               ) AS last_cents
+        FROM events
+      ) GROUP BY 1, 2, 4
+    ), b AS (
+      SELECT cast(floor(floor(epoch(min(ts))) / 86400) AS bigint) AS lo,
+             cast(floor(floor(epoch(max(ts))) / 86400) AS bigint) AS hi
+      FROM events
+    ), spine AS (
+      SELECT t.event_type, g.day_idx
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM b) g
+    ), j AS (
+      SELECT s.event_type, s.day_idx,
+             coalesce(o.n_events, 0) AS n_events,
+             o.last_cents,
+             CASE WHEN o.last_cents IS NOT NULL THEN 1 ELSE 0 END
+               AS observed
+      FROM spine s LEFT JOIN obs o
+        ON s.event_type = o.event_type AND s.day_idx = o.day_idx
+    ), w AS (
+      SELECT *,
+             last_value(last_cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS locf_cents,
+             last_value(CASE WHEN observed = 1 THEN day_idx END
+               IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prev_idx,
+             first_value(last_cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_cents,
+             first_value(CASE WHEN observed = 1 THEN day_idx END
+               IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_idx
+      FROM j
+    )
+    SELECT event_type, day_idx * 86400 AS day_ts,
+           cast(observed AS bigint) AS observed, n_events,
+           last_cents, locf_cents,
+           CASE WHEN observed = 1 THEN last_cents * 1000
+                WHEN locf_cents IS NOT NULL AND next_cents IS NOT NULL
+                THEN ((locf_cents * (next_idx - prev_idx)
+                       + (next_cents - locf_cents) * (day_idx - prev_idx))
+                      * 1000) // (next_idx - prev_idx)
+                ELSE NULL END AS interp_millicents
+    FROM w
+    """,
+)
+def bucket_gapfill_locf(spark, sf_dir):
+    """Bucket gap-fill, the TimescaleDB ``time_bucket_gapfill`` +
+    ``locf()`` + ``interpolate()`` triple: a dense daily spine per
+    event_type where missing days carry (a) the last observed day's
+    closing value (LOCF) and (b) the exact linear interpolation
+    between the straddling observed days. The lightweight relational
+    sibling of the engine's model-based gap-fill
+    (operators/gapfill.py; reference analog: linear interpolation
+    between assimilated anchors, src/04_reconstruct_s2_traits.py:162).
+
+    Exactness: interpolation is surfaced in MILLI-CENTS via a single
+    integer division — numerator = locf*(gap) + dv*offset, provably
+    non-negative (values >= 0), so Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree exactly; no float in the query.
+    Plan: one shuffle to the (type, day) grain, a sequence+explode
+    spine (never a driver loop), and per-type windows that reuse one
+    exchange. At 100 TB the spine is |types| x |days| — tiny — and the
+    LOCF windows run over the ALREADY-AGGREGATED daily grain, not raw
+    rows."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(floor(cast(cast(ts as timestamp) as long) / 86400)"
+               " as bigint)").alias("day_idx"),
+        F.expr(_US).alias("ts_us"),
+        F.expr(_CENTS).alias("cents"),
+        "event_id",
+    )
+    wlast = Window.partitionBy("event_type", "day_idx").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        e.withColumn("rn", F.row_number().over(wlast))
+        .withColumn(
+            "n_events",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("event_type", "day_idx")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "day_idx",
+            "n_events",
+            F.col("cents").alias("last_cents"),
+        )
+    )
+    bounds = e.agg(
+        F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi")
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("day_idx"),
+    )
+    j = spine.join(obs, ["event_type", "day_idx"], "left").select(
+        "event_type",
+        "day_idx",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        "last_cents",
+        F.when(F.col("last_cents").isNotNull(), 1).otherwise(0)
+        .cast("long").alias("observed"),
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("observed") == 1, F.col("day_idx"))
+    w = (
+        j.withColumn("locf_cents", F.last("last_cents", True).over(wprev))
+        .withColumn("prev_idx", F.last(obs_idx, True).over(wprev))
+        .withColumn("next_cents", F.first("last_cents", True).over(wnext))
+        .withColumn("next_idx", F.first(obs_idx, True).over(wnext))
+    )
+    interp = F.when(
+        F.col("observed") == 1, F.col("last_cents") * 1000
+    ).when(
+        F.col("locf_cents").isNotNull() & F.col("next_cents").isNotNull(),
+        F.expr(
+            "((locf_cents * (next_idx - prev_idx)"
+            " + (next_cents - locf_cents) * (day_idx - prev_idx))"
+            " * 1000) div (next_idx - prev_idx)"
+        ),
+    )
+    return w.select(
+        "event_type",
+        (F.col("day_idx") * 86400).alias("day_ts"),
+        "observed",
+        "n_events",
+        "last_cents",
+        "locf_cents",
+        interp.alias("interp_millicents"),
+    )
+
+
+# =====================================================================
+# Pivot (crosstab): daily wide table of per-type value sums
+# =====================================================================
+
+_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q(
+    "pivot_type_daily",
+    f"""
+    SELECT cast(floor(floor(epoch(ts)) / 86400) * 86400 AS bigint)
+             AS day_ts,
+           {", ".join(
+               f"cast(sum(CASE WHEN event_type = '{t}' THEN"
+               f" {_SQL_CENTS} END) AS bigint) AS {t}_cents"
+               for t in _TYPES
+           )}
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_type_daily(spark, sf_dir):
+    """Pivot / crosstab: one row per day, one column per event_type
+    carrying that type's exact daily cents total — the wide layout
+    every BI layer asks of an event stream.
+
+    Spark-first: DataFrame.pivot with the EXPLICIT value list — with
+    values supplied, Catalyst compiles the pivot to a single-pass
+    pivot-aggregate (one shuffle on day, map-side partials per type);
+    omitting the list would add a blocking distinct-scan job to
+    discover the domain. The oracle is the independent CASE-WHEN
+    formulation. Sums are BIGINT cents — exact at any partitioning."""
+    e = _t(spark, sf_dir, "events").select(
+        (
+            F.floor(F.col("ts").cast("timestamp").cast("long") / 86400)
+            * 86400
+        ).cast("long").alias("day_ts"),
+        "event_type",
+        F.expr(_CENTS).alias("cents"),
+    )
+    p = (
+        e.groupBy("day_ts")
+        .pivot("event_type", _TYPES)
+        .agg(F.sum("cents"))
+    )
+    return p.select(
+        "day_ts", *[F.col(t).alias(f"{t}_cents") for t in _TYPES]
+    )
+
+
+# =====================================================================
+# SCD2 validity intervals (attribute-change history per entity)
+# =====================================================================
+
+@_q(
+    "scd2_segment_intervals",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, {_SQL_US} AS ts_us,
+             CASE WHEN {_SQL_CENTS} >= 25000 THEN 'high'
+                  WHEN {_SQL_CENTS} >= 10000 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM events
+    ), c AS (
+      SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+                       OR tier <> lag(tier) OVER w THEN 1 ELSE 0 END AS chg
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), r AS (
+      SELECT *, sum(chg) OVER (
+        PARTITION BY user_id ORDER BY ts_us, event_id
+        ROWS UNBOUNDED PRECEDING
+      ) AS run_id
+      FROM c
+    ), runs AS (
+      SELECT user_id, cast(run_id AS bigint) AS run_id, min(tier) AS tier,
+             min(ts_us) AS valid_from_us,
+             cast(count(*) AS bigint) AS n_events
+      FROM r GROUP BY 1, 2
+    )
+    SELECT user_id, run_id, tier, valid_from_us,
+           lead(valid_from_us) OVER (
+             PARTITION BY user_id ORDER BY run_id
+           ) AS valid_to_us,
+           n_events
+    FROM runs
+    """,
+)
+def scd2_segment_intervals(spark, sf_dir):
+    """SCD type-2 interval construction: each user's value tier
+    (high/mid/low by cents thresholds) collapsed into consecutive-run
+    validity intervals [valid_from_us, valid_to_us) with valid_to =
+    the next run's start and NULL marking the current row — the
+    standard dimension-history build from an event stream. Differs
+    from gaps_islands_user (time-threshold segmentation) in that runs
+    break on ATTRIBUTE CHANGE, not time gaps.
+
+    One shuffle by user: the change-flag window, the running-sum
+    window, the per-run aggregate, and the lead() over runs all share
+    the user partitioning (the runs window is over rows already
+    collapsed to one per run). Everything is BIGINT µs / exact string
+    compares — engine-identical."""
+    e = _e(spark, sf_dir).withColumn(
+        "tier",
+        F.when(F.col("cents") >= 25000, "high")
+        .when(F.col("cents") >= 10000, "mid")
+        .otherwise("low"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = (
+        e.withColumn("ptier", F.lag("tier").over(wo))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("ptier").isNull()
+                | (F.col("tier") != F.col("ptier")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("chg").over(wrun))
+    )
+    runs = r.groupBy("user_id", "run_id").agg(
+        F.min("tier").alias("tier"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wlead = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        "run_id",
+        "tier",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wlead).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+# =====================================================================
+# Streaming ASOF probe (arrivals enrich against a static index)
+# =====================================================================
+
+@_q(
+    "streaming_asof_probe",
+    f"""
+    WITH b AS (
+      SELECT user_id, ts, max({_SQL_CENTS}) AS bc
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT a.event_id, a.user_id, a.event_type,
+           {_SQL_US.replace('ts', 'a.ts')} AS ts_us,
+           b.bc AS click_cents,
+           {_SQL_US.replace('ts', 'a.ts')} - {_SQL_US.replace('ts', 'b.ts')}
+             AS staleness_us
+    FROM events a
+    ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+    WHERE a.event_type <> 'click' AND a.event_id % 10 = 0
+    """,
+)
+def streaming_asof_probe(spark, sf_dir):
+    """Streaming twin of asof_join_clicks: the arrival slice (event_id
+    % 10 == 0) streams through foreachBatch and probes the STATIC
+    click index for each arrival's latest at-or-before reading
+    (streaming/asof_stream.py). The oracle is the batch ASOF restricted
+    to the arrival rows, so a hash match proves the microbatch path
+    emits exactly the batch answer. Arrivals are broadcast per
+    microbatch; the index — arbitrarily large at scale — is
+    localCheckpoint-ed once and never moves (the dedup-probe
+    contract, streaming/dedup_stream.py)."""
+    from sentinel2_crop_trait_timeseries_spark.streaming.asof_stream import (
+        run_asof_stream_once,
+    )
+
+    return run_asof_stream_once(spark, sf_dir)

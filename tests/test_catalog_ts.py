@@ -245,3 +245,74 @@ def test_cohort_retention_triangle(spark, events):
     # retention never exceeds cohort size
     m = got.set_index("cohort_week")
     assert (m.n_users <= sizes.loc[m.index].values).all()
+
+
+def test_bucket_gapfill_locf_properties(spark, events):
+    got = _run(spark, "bucket_gapfill_locf")
+    days = events.ts_us // cts._DAY_US
+    lo, hi = int(days.min()), int(days.max())
+    n_types = events.event_type.nunique()
+    # dense spine: every (type, day) present exactly once
+    assert len(got) == n_types * (hi - lo + 1)
+    obs = got[got.observed == 1]
+    mis = got[got.observed == 0]
+    assert (mis.n_events == 0).all() and (obs.n_events > 0).all()
+    # observed rows: interp == last * 1000 and locf == last
+    assert (obs.interp_millicents == obs.last_cents * 1000).all()
+    assert (obs.locf_cents == obs.last_cents).all()
+    # interpolation lies between the straddling observed values
+    for et, g in got.groupby("event_type"):
+        g = g.sort_values("day_ts").reset_index(drop=True)
+        o = g[g.observed == 1]
+        for i in range(len(g)):
+            row = g.iloc[i]
+            if row.observed or pd.isna(row.interp_millicents):
+                continue
+            prev = o[o.day_ts < row.day_ts].last_cents.iloc[-1]
+            nxt = o[o.day_ts > row.day_ts].last_cents.iloc[0]
+            lo_b, hi_b = sorted((prev * 1000, nxt * 1000))
+            assert lo_b - 1000 <= row.interp_millicents <= hi_b + 1000
+
+
+def test_pivot_row_sums_match_long_totals(spark, events):
+    got = _run(spark, "pivot_type_daily")
+    day = (events.ts_us // cts._DAY_US) * 86400
+    e = events.assign(day_ts=day)
+    total_wide = got.set_index("day_ts").fillna(0).sum(axis=1).sort_index()
+    total_long = e.groupby("day_ts").cents.sum().sort_index()
+    assert total_wide.tolist() == total_long.tolist()
+    # one spot-check column
+    clicks = (
+        e[e.event_type == "click"].groupby("day_ts").cents.sum()
+    )
+    m = got.set_index("day_ts").click_cents.dropna().sort_index()
+    assert m.tolist() == clicks.sort_index().tolist()
+
+
+def test_scd2_intervals_tile_history(spark, events):
+    got = _run(spark, "scd2_segment_intervals")
+    # runs tile each user's events; intervals chain without overlap
+    per_user = got.groupby("user_id")
+    assert per_user.n_events.sum().sort_index().tolist() == (
+        events.groupby("user_id").size().sort_index().tolist()
+    )
+    for uid, g in got.groupby("user_id"):
+        g = g.sort_values("run_id")
+        assert g.run_id.tolist() == list(range(1, len(g) + 1))
+        # exactly one open interval (the current one)
+        assert g.valid_to_us.isna().sum() == 1
+        assert pd.isna(g.iloc[-1].valid_to_us)
+        chained = g.valid_to_us.iloc[:-1].values == g.valid_from_us.iloc[1:].values
+        assert chained.all()
+        # consecutive runs change tier
+        assert (g.tier.values[1:] != g.tier.values[:-1]).all()
+
+
+def test_streaming_asof_matches_batch_slice(spark):
+    got = _run(spark, "streaming_asof_probe")
+    batch = _run(spark, "asof_join_clicks")
+    sl = batch[batch.event_id % 10 == 0]
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = sl[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
