@@ -1185,11 +1185,13 @@ def pivot_type_daily(spark, sf_dir):
     every BI layer asks of an event stream.
 
     Spark-first: DataFrame.pivot with the EXPLICIT value list — with
-    values supplied, Catalyst compiles the pivot to a single-pass
-    pivot-aggregate (one shuffle on day, map-side partials per type);
-    omitting the list would add a blocking distinct-scan job to
-    discover the domain. The oracle is the independent CASE-WHEN
-    formulation. Sums are BIGINT cents — exact at any partitioning."""
+    values supplied Catalyst skips the blocking distinct-scan job that
+    otherwise discovers the domain, compiling to the two-stage
+    aggregate (per-(day,type) sum, then pivotfirst per day; both
+    map-side combined, both exchanges carrying already-reduced rows —
+    plan-asserted in test_plans.py). The oracle is the independent
+    CASE-WHEN formulation. Sums are BIGINT cents — exact at any
+    partitioning."""
     e = _t(spark, sf_dir, "events").select(
         (
             F.floor(F.col("ts").cast("timestamp").cast("long") / 86400)

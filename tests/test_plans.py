@@ -234,3 +234,90 @@ def test_embedding_outlier_single_scan_broadcast_only(spark):
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+# ---------------------------------------------------------------------
+# Round-5 ordered-timeseries batch: the scale-defining plan properties
+# ---------------------------------------------------------------------
+
+def test_asof_clicks_union_tag_single_exchange(spark):
+    """The two-relation ASOF is the union-tag window plan: no join
+    operator at all and exactly one keyed shuffle (plus whatever AQE
+    adds for the pre-dedup agg on the reference stream)."""
+    plan = _executed(spark, "asof_join_clicks")
+    assert "Join" not in plan
+    # one exchange for the reference dedup agg + one shared user-keyed
+    # window shuffle; never more
+    assert plan.count("Exchange") <= 2
+
+
+def test_gaps_islands_single_user_shuffle(spark):
+    """lag, boundary flag, running sum and the island aggregate all
+    share the user partitioning — one exchange end to end."""
+    plan = _executed(spark, "gaps_islands_user")
+    assert plan.count("Exchange") <= 1
+
+
+def test_twa_and_counter_rate_share_window_exchange(spark):
+    for name in ("time_weighted_avg_daily", "counter_rate_daily"):
+        plan = _executed(spark, name)
+        assert plan.count("Exchange") <= 2, name
+        assert "Join" not in plan, name
+
+
+def test_fold_queries_are_single_shuffle_no_python(spark):
+    """EWMA / CUSUM / funnel run as JVM array folds: one groupBy
+    shuffle, no Python workers (no *InPandas / PythonUDF nodes), no
+    joins."""
+    for name in ("ewma_user_fold", "cusum_changepoint_user",
+                 "funnel_steps_user"):
+        plan = _executed(spark, name)
+        assert plan.count("Exchange") <= 1, name
+        assert "Python" not in plan and "InPandas" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_rolling_median_bounded_frame_single_shuffle(spark):
+    plan = _executed(spark, "rolling_median_user")
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+
+
+def test_lttb_no_cartesian_broadcast_state(spark):
+    """Every per-round join broadcasts the 1-row-per-series state /
+    bucket sums; the bucketed base never re-shuffles into a join."""
+    plan = _executed(spark, "lttb_downsample")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_budget_broadcast_no_global_sort(spark):
+    plan = _executed(spark, "mixture_token_budget")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # per-source window sort only — no global Sort outside partitioning
+    assert "SortMergeJoin" not in plan
+
+
+def test_pivot_explicit_values_two_tiny_exchanges(spark):
+    """With the value list supplied, pivot compiles to the two-stage
+    aggregate (per-(day,type) sum, then pivotfirst per day) with NO
+    domain-discovery job; both exchanges carry already-reduced rows
+    and both stages combine map-side."""
+    plan = _executed(spark, "pivot_type_daily")
+    assert plan.count("Exchange") == 2
+    assert "partial_pivotfirst" in plan and "partial_sum" in plan
+
+
+def test_bucket_gapfill_spine_is_broadcast(spark):
+    """The day-bounds row reaches the spine via broadcast; LOCF
+    windows run on the daily grain."""
+    plan = _executed(spark, "bucket_gapfill_locf")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_scd2_shares_user_exchange(spark):
+    plan = _executed(spark, "scd2_segment_intervals")
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
