@@ -168,6 +168,7 @@ _TAIL = [
     "pivot_type_daily",
     "scd2_segment_intervals",
     "streaming_asof_probe",
+    "streaming_cusum_state",
 ]
 
 assert len(_HEAD) == _WINDOW, (

@@ -114,6 +114,7 @@ HEADLINE = [
     "pivot_type_daily",
     "scd2_segment_intervals",
     "streaming_asof_probe",
+    "streaming_cusum_state",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

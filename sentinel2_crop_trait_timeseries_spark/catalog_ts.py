@@ -30,6 +30,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sentinel2_crop_trait_timeseries_spark.catalog import (
+    QUERIES,
     _SQL_WEEK,
     _q,
     _t,
@@ -1333,3 +1334,33 @@ def streaming_asof_probe(spark, sf_dir):
     )
 
     return run_asof_stream_once(spark, sf_dir)
+
+
+# =====================================================================
+# Streaming CUSUM (ordered per-key state across micro-batches)
+# =====================================================================
+
+@_q(
+    "streaming_cusum_state",
+    # the batch recursion IS the oracle: cross-batch state must
+    # reproduce it exactly (same SQL as cusum_changepoint_user)
+    QUERIES["cusum_changepoint_user"]["sql"],
+)
+def streaming_cusum_state(spark, sf_dir):
+    """Streaming twin of cusum_changepoint_user: the per-user CUSUM
+    recursion carried across micro-batches in GroupState
+    (applyInPandasWithState, streaming/cusum_stream.py). Unlike
+    running_totals (rollup_stream.py), whose count/sum state is
+    order-insensitive, CUSUM's max(0, .) recursion requires the
+    source's per-key event-time ordering — the harness streams the
+    fixture as time-range chunk files one per trigger, standing in for
+    Kafka per-key order. The alarm target is an offline artifact
+    (per-user doubled median) broadcast onto arrivals. Oracle = the
+    batch recursive CTE; a hash match proves the cross-batch state
+    path equals the batch recursion bit-for-bit (all-BIGINT state —
+    nothing to hide drift in)."""
+    from sentinel2_crop_trait_timeseries_spark.streaming.cusum_stream import (
+        run_cusum_stream_once,
+    )
+
+    return run_cusum_stream_once(spark, sf_dir)

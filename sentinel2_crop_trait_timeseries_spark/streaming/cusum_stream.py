@@ -1,0 +1,167 @@
+"""Streaming CUSUM: the per-user changepoint recursion of
+catalog_ts.cusum_changepoint_user carried ACROSS micro-batches in
+GroupState — ordered sequential state, not just mergeable totals
+(running_totals in rollup_stream.py carries count/sum, which is
+order-insensitive; CUSUM's max(0, ...) recursion is not, so this
+operator demonstrates genuine event-order stateful streaming).
+
+Contract: the source must deliver each key's rows in event-time order
+across micro-batches (Kafka per-key ordering at scale). The test
+harness materializes that contract by chunking the fixture into
+time-range files streamed one per trigger (maxFilesPerTrigger=1, file
+mtimes pinned so the listing order IS the time order). The per-user
+alarm target (doubled exact median, see the batch query) is an
+OFFLINE artifact — trained on history, broadcast onto arrivals —
+matching how a production monitor deploys a detector.
+
+The oracle is the batch recursive-CTE SQL: a hash match proves the
+cross-batch state path reproduces the batch recursion exactly (all
+state is BIGINT 2x-cents, so there is no accumulation drift to hide
+behind).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_US = "cast(unix_micros(cast(ts as timestamp)) as bigint)"
+_CENTS = "cast(round(value * 100) as bigint)"
+
+OUT_SCHEMA = (
+    "user_id long, n_events long, n_over long, first_over_ts_us long, "
+    "max_s_x2 long"
+)
+STATE_SCHEMA = "s long, n_over long, first_ts long, max_s long, n_seen long"
+
+
+def cusum_stateful(stream: DataFrame, k: int, h: int) -> DataFrame:
+    """groupBy(user).applyInPandasWithState CUSUM: state is the exact
+    integer 5-tuple (s, n_over, first_ts [-1 = none], max_s, n_seen);
+    each batch's rows are sorted by (ts_us, event_id) before the fold,
+    and the cross-batch order is the source's per-key delivery order
+    (the operator's documented contract)."""
+
+    def update(key_tuple, pdfs, state: GroupState):
+        s, n_over, first_ts, max_s, n_seen = (
+            state.get if state.exists else (0, 0, -1, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        target = int(pdf["target_x2"].iloc[0])
+        for cents, ts_us in zip(
+            pdf["cents"].astype("int64"), pdf["ts_us"].astype("int64")
+        ):
+            s = max(0, s + (2 * int(cents) - target) - k)
+            if s > h:
+                n_over += 1
+                if first_ts < 0:
+                    first_ts = int(ts_us)
+            max_s = max(max_s, s)
+        n_seen += len(pdf)
+        state.update((s, n_over, first_ts, max_s, n_seen))
+        yield pd.DataFrame(
+            {
+                "user_id": [key_tuple[0]],
+                "n_events": [n_seen],
+                "n_over": [n_over],
+                "first_over_ts_us": [None if first_ts < 0 else first_ts],
+                "max_s_x2": [max_s],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_cusum_stream_once(
+    spark: SparkSession,
+    sf_dir: str,
+    file_name: str = "events.parquet",
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Drive the streaming CUSUM over the events fixture split into
+    n_chunks time-range files (one micro-batch each, so state
+    genuinely carries across batches); return the FINAL state row per
+    user (the last update, selected by max n_seen)."""
+    from sentinel2_crop_trait_timeseries_spark.catalog_ts import (
+        _CUSUM_H,
+        _CUSUM_K,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/{file_name}").select(
+        "user_id",
+        "event_id",
+        F.expr(_US).alias("ts_us"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    # offline detector target: the user's doubled exact median
+    lc = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("cents")).alias("lc")
+    )
+    n = F.size("lc").cast("long")
+    targets = lc.select(
+        "user_id",
+        (
+            F.element_at("lc", ((n + 1) / 2).cast("int"))
+            + F.element_at("lc", (n / 2 + 1).cast("int"))
+        ).alias("target_x2"),
+    ).localCheckpoint(eager=True)
+
+    # time-range chunking: the harness's stand-in for a per-key-ordered
+    # source; files written (and mtime-pinned) in time order
+    in_dir = tempfile.mkdtemp(prefix="s2tt_stream_cusum_")
+    ranked = e.withColumn(
+        "chunk",
+        F.ntile(n_chunks).over(Window.orderBy("ts_us", "event_id")),
+    )
+    total_rows = 0
+    for c in range(1, n_chunks + 1):
+        path = os.path.join(in_dir, f"chunk_{c:02d}")
+        part = ranked.filter(F.col("chunk") == c).drop("chunk")
+        part.coalesce(1).write.mode("overwrite").parquet(path)
+        total_rows += part.count()
+        t = 1_700_000_000 + c
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(path, (t, t))
+
+    schema = spark.read.parquet(os.path.join(in_dir, "chunk_01")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(in_dir)
+        .join(F.broadcast(targets), "user_id")
+    )
+    name = "s2tt_stream_cusum"
+    q = (
+        cusum_stateful(stream, _CUSUM_K, _CUSUM_H)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    upd = spark.table(name)
+    wfin = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        upd.withColumn("rn", F.row_number().over(wfin))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

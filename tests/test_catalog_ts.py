@@ -316,3 +316,25 @@ def test_streaming_asof_matches_batch_slice(spark):
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = sl[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_streaming_cusum_multibatch_equals_batch(spark):
+    """The cross-batch ordered-state contract: 4 time-range
+    micro-batches reproduce the batch recursion exactly, and the
+    harness genuinely ran >1 batch (updates-per-user > 1 for users
+    spanning chunks)."""
+    from sentinel2_crop_trait_timeseries_spark.streaming.cusum_stream import (
+        run_cusum_stream_once,
+    )
+
+    got = run_cusum_stream_once(spark, SF, n_chunks=4).toPandas()
+    batch = _run(spark, "cusum_changepoint_user")
+    cols = sorted(batch.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = batch[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the memory sink accumulated intermediate updates: with 4 chunks
+    # and 15 users at sf0.001, users span chunks, so the final-state
+    # selection had to pick among multiple updates
+    upd = spark.table("s2tt_stream_cusum").toPandas()
+    assert upd.groupby("user_id").size().max() > 1
