@@ -1,5 +1,8 @@
 """Ordered-timeseries analytics queries: ASOF join, gaps-and-islands,
-time-weighted average, counter-reset rate, LTTB downsample, EWMA fold.
+time-weighted average, counter-reset rate, LTTB downsample, EWMA fold,
+rolling exact median, CUSUM changepoint, funnel steps, weekly cohort
+retention, bucket gap-fill (locf + interpolate), pivot/crosstab, SCD2
+validity intervals, and the streaming ASOF / streaming CUSUM twins.
 
 The reference pipeline is built on irregular per-parcel time series that
 are repeatedly re-keyed onto other time axes: scene observations merged
