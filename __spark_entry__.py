@@ -169,6 +169,8 @@ _TAIL = [
     "scd2_segment_intervals",
     "streaming_asof_probe",
     "streaming_cusum_state",
+    "unpivot_type_daily",
+    "pareto_source_share",
 ]
 
 assert len(_HEAD) == _WINDOW, (

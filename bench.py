@@ -115,6 +115,8 @@ HEADLINE = [
     "scd2_segment_intervals",
     "streaming_asof_probe",
     "streaming_cusum_state",
+    "unpivot_type_daily",
+    "pareto_source_share",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -1367,3 +1367,119 @@ def streaming_cusum_state(spark, sf_dir):
     )
 
     return run_cusum_stream_once(spark, sf_dir)
+
+
+# =====================================================================
+# Unpivot / melt (the pivot inverse, proven through the hash gate)
+# =====================================================================
+
+@_q(
+    "unpivot_type_daily",
+    f"""
+    SELECT event_type,
+           cast(floor(floor(epoch(ts)) / 86400) * 86400 AS bigint)
+             AS day_ts,
+           cast(sum({_SQL_CENTS}) AS bigint) AS cents_total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def unpivot_type_daily(spark, sf_dir):
+    """Unpivot / melt: the wide daily crosstab (pivot_type_daily's
+    exact output) folded back to long form with ``stack`` — and the
+    oracle is the DIRECT long-form aggregate, so the hash gate proves
+    pivot -> unpivot is the identity on this data (the round-trip
+    property, not just two independent layouts).
+
+    stack() is a narrow generator over the already-tiny wide frame
+    (|days| rows): no extra shuffle beyond the pivot's own
+    aggregation. NULL cells (type absent on a day) are dropped to
+    match the long form's missing groups."""
+    wide = QUERIES["pivot_type_daily"]["fn"](spark, sf_dir)
+    pairs = ", ".join(f"'{t}', {t}_cents" for t in _TYPES)
+    return (
+        wide.select(
+            "day_ts",
+            F.expr(
+                f"stack({len(_TYPES)}, {pairs})"
+                " as (event_type, cents_total)"
+            ),
+        )
+        .filter(F.col("cents_total").isNotNull())
+        .select("event_type", "day_ts", "cents_total")
+    )
+
+
+# =====================================================================
+# Pareto / ABC classification (cumulative-share ranking)
+# =====================================================================
+
+@_q(
+    "pareto_source_share",
+    r"""
+    WITH t AS (
+      SELECT source,
+             cast(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> ''))) AS bigint) AS tok
+      FROM documents GROUP BY 1
+    ), c AS (
+      SELECT source, tok,
+             cast(sum(tok) OVER (
+               ORDER BY tok DESC, source ROWS UNBOUNDED PRECEDING
+             ) AS bigint) AS cum_tok,
+             cast(sum(tok) OVER () AS bigint) AS total_tok
+      FROM t
+    )
+    SELECT source, tok, cum_tok,
+           round(1e-9 + (cum_tok / total_tok), 4) AS cum_share,
+           CASE WHEN cum_tok * 100 <= total_tok * 80 THEN 'A'
+                WHEN cum_tok * 100 <= total_tok * 95 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM c
+    """,
+)
+def pareto_source_share(spark, sf_dir):
+    """Pareto / ABC analysis over sources by token volume: rank
+    sources by contribution, accumulate share, classify A (first 80%
+    of tokens), B (to 95%), C (tail) — the standard
+    concentration-of-mass report a mixture designer reads before
+    setting sampling weights (pairs with mixture_token_budget /
+    source_mixture_weights).
+
+    The class boundaries are INTEGER comparisons (cum*100 <= total*80)
+    — no float enters the classification, so the A/B/C labels are
+    engine-exact; the displayed cum_share is one division of two exact
+    BIGINTs. The ordered window runs over the per-source aggregate
+    (|sources| rows — tiny at any scale), so the single-partition
+    window is provably bounded by the source cardinality, not the
+    data (the quality_decile_thresholds argument)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+            .cast("long")
+        ).alias("tok")
+    )
+    wc = (
+        Window.orderBy(F.col("tok").desc(), F.col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = t.withColumn("cum_tok", F.sum("tok").over(wc)).withColumn(
+        "total_tok", F.sum("tok").over(wt)
+    )
+    return c.select(
+        "source",
+        "tok",
+        "cum_tok",
+        F.round(
+            F.lit(1e-9) + F.col("cum_tok") / F.col("total_tok"), 4
+        ).alias("cum_share"),
+        F.when(
+            F.col("cum_tok") * 100 <= F.col("total_tok") * 80, "A"
+        )
+        .when(F.col("cum_tok") * 100 <= F.col("total_tok") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )

@@ -338,3 +338,37 @@ def test_streaming_cusum_multibatch_equals_batch(spark):
     # selection had to pick among multiple updates
     upd = spark.table("s2tt_stream_cusum").toPandas()
     assert upd.groupby("user_id").size().max() > 1
+
+
+def test_unpivot_inverts_pivot(spark, events):
+    long_direct = (
+        events.assign(day_ts=(events.ts_us // cts._DAY_US) * 86400)
+        .groupby(["event_type", "day_ts"], as_index=False)
+        .agg(cents_total=("cents", "sum"))
+    )
+    got = _run(spark, "unpivot_type_daily")
+    cols = ["event_type", "day_ts", "cents_total"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = long_direct[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_pareto_abc_properties(spark):
+    got = _run(spark, "pareto_source_share").sort_values(
+        ["tok", "source"], ascending=[False, True]
+    ).reset_index(drop=True)
+    total = got.tok.sum()
+    assert got.cum_tok.iloc[-1] == total
+    assert (got.cum_tok.diff().dropna() == got.tok.iloc[1:].values).all()
+    # class boundaries honor the integer rule
+    for _, r in got.iterrows():
+        if r.cum_tok * 100 <= total * 80:
+            assert r.abc == "A"
+        elif r.cum_tok * 100 <= total * 95:
+            assert r.abc == "B"
+        else:
+            assert r.abc == "C"
+    # classes are contiguous in rank order
+    order = {"A": 0, "B": 1, "C": 2}
+    ranks = got.abc.map(order)
+    assert (ranks.diff().dropna() >= 0).all()
