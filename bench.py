@@ -117,6 +117,7 @@ HEADLINE = [
     "streaming_cusum_state",
     "unpivot_type_daily",
     "pareto_source_share",
+    "interval_overlap_bursts",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

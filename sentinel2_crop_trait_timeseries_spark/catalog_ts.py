@@ -1483,3 +1483,170 @@ def pareto_source_share(spark, sf_dir):
         .otherwise("C")
         .alias("abc"),
     )
+
+
+# =====================================================================
+# Interval overlap join (islands x global error bursts, grid-bucketed)
+# =====================================================================
+
+_BURST_GAP_US = 3_600_000_000  # 1 h: error-burst segmentation
+
+
+@_q(
+    "interval_overlap_bursts",
+    f"""
+    WITH ue AS (
+      SELECT user_id, event_id, {_SQL_US} AS ts_us FROM events
+    ), ui AS (
+      SELECT user_id, cast(island_id AS bigint) AS island_id,
+             min(ts_us) AS i_start, max(ts_us) AS i_end
+      FROM (
+        SELECT *, sum(ni) OVER (
+          PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS UNBOUNDED PRECEDING) AS island_id
+        FROM (
+          SELECT *, CASE WHEN prev_us IS NULL
+                           OR ts_us - prev_us > {_GAP_US}
+                      THEN 1 ELSE 0 END AS ni
+          FROM (
+            SELECT *, lag(ts_us) OVER (
+              PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+            FROM ue
+          )
+        )
+      ) GROUP BY 1, 2
+    ), ee AS (
+      SELECT event_id, {_SQL_US} AS ts_us FROM events
+      WHERE event_type = 'error'
+    ), eb AS (
+      SELECT cast(burst_id AS bigint) AS burst_id,
+             min(ts_us) AS b_start, max(ts_us) AS b_end,
+             cast(count(*) AS bigint) AS b_events
+      FROM (
+        SELECT *, sum(ni) OVER (
+          ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS burst_id
+        FROM (
+          SELECT *, CASE WHEN prev_us IS NULL
+                           OR ts_us - prev_us > {_BURST_GAP_US}
+                      THEN 1 ELSE 0 END AS ni
+          FROM (
+            SELECT *, lag(ts_us) OVER (ORDER BY ts_us, event_id)
+              AS prev_us
+            FROM ee
+          )
+        )
+      ) GROUP BY 1
+    )
+    SELECT i.user_id, i.island_id, b.burst_id, b.b_events,
+           greatest(i.i_start, b.b_start) AS overlap_start_us,
+           least(i.i_end, b.b_end) AS overlap_end_us,
+           least(i.i_end, b.b_end) - greatest(i.i_start, b.b_start)
+             AS overlap_us
+    FROM ui i JOIN eb b
+      ON i.i_start <= b.b_end AND b.b_start <= i.i_end
+    """,
+)
+def interval_overlap_bursts(spark, sf_dir):
+    """Interval overlap join: each user's activity islands joined to
+    the GLOBAL error-burst windows they overlap in time (Flink's
+    interval join / the range-predicate join every incident-analysis
+    query needs: "whose activity coincided with the outage?").
+
+    Spark-first: Spark would execute the raw range predicate as a
+    BroadcastNestedLoopJoin; instead both interval sets are exploded
+    onto a DAY-cell grid and equi-joined on the cell — the temporal
+    twin of spatial_snap_nn's grid trick — then deduped per
+    (island, burst) and filtered on the exact overlap predicate. The
+    plan is hash-equi-join only (no BNLJ/cartesian, plan-asserted);
+    cells-per-interval is bounded by interval span (islands break at
+    6 h of silence, so spans are short), and the burst side is tiny by
+    construction (global error stream segments). All bounds and the
+    overlap length are exact BIGINT µs. The burst segmentation's
+    single-key window runs over error events only — the provably-small
+    partition argument (quality_decile_thresholds) applies. Oracle:
+    DuckDB's direct non-equi range join — an independent algorithm for
+    the same semantics."""
+    e = _e(spark, sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ui = (
+        e.withColumn("prev_us", F.lag("ts_us").over(wo))
+        .withColumn(
+            "ni",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > _GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island_id", F.sum("ni").over(wrun))
+        .groupBy("user_id", "island_id")
+        .agg(
+            F.min("ts_us").alias("i_start"),
+            F.max("ts_us").alias("i_end"),
+        )
+    )
+    wg = Window.orderBy("ts_us", "event_id")
+    wgr = wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eb = (
+        e.filter(F.col("event_type") == "error")
+        .withColumn("prev_us", F.lag("ts_us").over(wg))
+        .withColumn(
+            "ni",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > _BURST_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("burst_id", F.sum("ni").over(wgr))
+        .groupBy("burst_id")
+        .agg(
+            F.min("ts_us").alias("b_start"),
+            F.max("ts_us").alias("b_end"),
+            F.count(F.lit(1)).alias("b_events"),
+        )
+    )
+    cells = F.explode(
+        F.sequence(
+            F.floor(F.col("i_start") / _DAY_US),
+            F.floor(F.col("i_end") / _DAY_US),
+        )
+    )
+    icells = ui.select("user_id", "island_id", "i_start", "i_end",
+                       cells.alias("cell"))
+    bcells = eb.select(
+        "burst_id",
+        "b_start",
+        "b_end",
+        "b_events",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("b_start") / _DAY_US),
+                F.floor(F.col("b_end") / _DAY_US),
+            )
+        ).alias("cell"),
+    )
+    pairs = (
+        icells.join(F.broadcast(bcells), "cell")
+        .filter(
+            (F.col("i_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("i_end"))
+        )
+        .groupBy(
+            "user_id", "island_id", "burst_id", "b_events",
+            "i_start", "i_end", "b_start", "b_end",
+        )
+        .agg(F.count(F.lit(1)).alias("_dup"))
+    )
+    return pairs.select(
+        "user_id",
+        "island_id",
+        "burst_id",
+        "b_events",
+        F.greatest("i_start", "b_start").alias("overlap_start_us"),
+        F.least("i_end", "b_end").alias("overlap_end_us"),
+        (
+            F.least("i_end", "b_end") - F.greatest("i_start", "b_start")
+        ).alias("overlap_us"),
+    )

@@ -372,3 +372,29 @@ def test_pareto_abc_properties(spark):
     order = {"A": 0, "B": 1, "C": 2}
     ranks = got.abc.map(order)
     assert (ranks.diff().dropna() >= 0).all()
+
+
+def test_interval_overlap_is_exact_range_join(spark, events):
+    got = _run(spark, "interval_overlap_bursts")
+    assert (got.overlap_us >= 0).all()
+    # brute-force reference: islands x bursts in pandas
+    s = events.sort_values(["user_id", "ts_us", "event_id"])
+    s["ni"] = (
+        s.groupby("user_id").ts_us.diff().gt(cts._GAP_US)
+        | s.groupby("user_id").ts_us.diff().isna()
+    ).astype(int)
+    s["island"] = s.groupby("user_id").ni.cumsum()
+    isl = s.groupby(["user_id", "island"]).ts_us.agg(["min", "max"])
+    err = events[events.event_type == "error"].sort_values(
+        ["ts_us", "event_id"]
+    )
+    nb = (err.ts_us.diff().gt(cts._BURST_GAP_US) | err.ts_us.diff().isna())
+    bid = nb.astype(int).cumsum()
+    bur = err.groupby(bid).ts_us.agg(["min", "max"])
+    n_expected = sum(
+        1
+        for (_, i) in isl.iterrows()
+        for (_, b) in bur.iterrows()
+        if i["min"] <= b["max"] and b["min"] <= i["max"]
+    )
+    assert len(got) == n_expected

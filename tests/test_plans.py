@@ -321,3 +321,12 @@ def test_scd2_shares_user_exchange(spark):
     plan = _executed(spark, "scd2_segment_intervals")
     assert plan.count("Exchange") <= 1
     assert "Join" not in plan
+
+
+def test_interval_overlap_no_bnlj(spark):
+    """The range-predicate join runs as the day-cell grid equi-join
+    (temporal twin of spatial_snap_nn), never a nested loop."""
+    plan = _executed(spark, "interval_overlap_bursts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
