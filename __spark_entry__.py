@@ -172,6 +172,17 @@ _TAIL = [
     "unpivot_type_daily",
     "pareto_source_share",
     "interval_overlap_bursts",
+    # late-r5 statistical batch (also post-window): DSIR importance,
+    # stratified sampling, Holt fold, hour-of-day anomaly, correlation
+    # pair/lag scan, hopping windows — 3-SF oracle-verified locally +
+    # CI tail-checked; rotate into r6's _HEAD with the block above
+    "dsir_importance_weights",
+    "stratified_sample_source",
+    "holt_linear_user",
+    "seasonal_hod_anomaly",
+    "corr_types_daily",
+    "xcorr_lag_scan",
+    "hopping_window_counts",
 ]
 
 assert len(_HEAD) == _WINDOW, (

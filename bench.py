@@ -118,6 +118,17 @@ HEADLINE = [
     "unpivot_type_daily",
     "pareto_source_share",
     "interval_overlap_bursts",
+    # round-5 batch 4 (statistical): DSIR importance weights,
+    # stratified per-source sample, Holt linear fold, hour-of-day
+    # anomaly (128-bit integer test), correlation pair + lag scan,
+    # hopping windows
+    "dsir_importance_weights",
+    "stratified_sample_source",
+    "holt_linear_user",
+    "seasonal_hod_anomaly",
+    "corr_types_daily",
+    "xcorr_lag_scan",
+    "hopping_window_counts",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

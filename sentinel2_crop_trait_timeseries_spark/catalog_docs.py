@@ -3645,3 +3645,168 @@ def mixture_token_budget(spark, sf_dir):
         .filter(F.col("cum_tok") <= F.col("budget"))
         .select("source", "doc_id", "tok", "cum_tok", "budget")
     )
+
+
+# =====================================================================
+# DSIR importance weights (hashed-unigram target/raw log-ratio)
+# =====================================================================
+
+@_q(
+    "dsir_importance_weights",
+    f"""
+    WITH words AS ({_SQL_WORDS}),
+    raw AS (SELECT w, count(*) AS cr FROM words GROUP BY 1),
+    tgt AS (
+      SELECT w.w, count(*) AS ct
+      FROM words w JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' GROUP BY 1
+    ),
+    tot AS (
+      SELECT cast(sum(cr) AS double) AS tr,
+             cast(count(*) AS double) AS v,
+             (SELECT cast(sum(ct) AS double) FROM tgt) AS tt
+      FROM raw
+    ),
+    dw AS (SELECT doc_id, w, count(*) AS n_dw FROM words GROUP BY 1, 2),
+    contrib AS (
+      SELECT dw.doc_id, dw.n_dw,
+             dw.n_dw * (ln((coalesce(tgt.ct, 0) + 1.0) / (tot.tt + tot.v))
+                        - ln((raw.cr + 1.0) / (tot.tr + tot.v))) AS lr
+      FROM dw JOIN raw USING (w) LEFT JOIN tgt USING (w), tot
+    )
+    SELECT doc_id,
+           cast(sum(n_dw) AS bigint) AS n_tok,
+           round(1e-9 + sum(lr) / sum(n_dw) / {_LN2}, 4)
+             AS dsir_bits_per_token
+    FROM contrib GROUP BY 1
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR-style importance weight per doc (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): fit a
+    smoothed unigram LM on the TARGET distribution (here lang='en'
+    docs — the high-quality slice a curator resamples toward) and one
+    on the RAW corpus, then score every doc by its average
+    log-likelihood ratio in bits/token. Docs are then resampled with
+    probability proportional to exp(weight) — the resampling itself is
+    `stratified_sample_source` / `sample_fraction_bounds` composed on
+    this score.
+
+    Determinism (the quality_lm_perplexity convention): both ln
+    operands are exactly-representable ratios of exact integer counts,
+    both engines evaluate the identical expression tree on identical
+    doubles, ln(2) is a shared literal, and the surfaced score is
+    round(1e-9 + x, 4).
+
+    Scale shape: the token stream collapses to (doc, word) BEFORE any
+    model join (~10x shrink); both LMs join by word as SHUFFLE joins
+    (a web-scale vocab is billions of rows — not broadcastable); the
+    three model scalars ride in via one broadcast single-row cross
+    join. Reference analog: the reference reweights its time series by
+    an externally-fit model too (dose-response params from fitted CSVs,
+    src/04_reconstruct_s2_traits.py:150)."""
+    d = _t(spark, sf_dir, "documents")
+    w = _words(d)
+    raw = w.groupBy("w").agg(F.count("*").alias("cr"))
+    tgt = (
+        w.join(d.filter(F.col("lang") == "en").select("doc_id"), "doc_id")
+        .groupBy("w")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = raw.agg(
+        F.sum("cr").cast("double").alias("tr"),
+        F.count("*").cast("double").alias("v"),
+    ).crossJoin(tgt.agg(F.sum("ct").cast("double").alias("tt")))
+    dw = w.groupBy("doc_id", "w").agg(F.count("*").alias("n_dw"))
+    contrib = (
+        dw.join(raw, "w")
+        .join(tgt, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_dw",
+            (
+                F.col("n_dw")
+                * (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                        / (F.col("tt") + F.col("v"))
+                    )
+                    - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.col("v")))
+                )
+            ).alias("lr"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("n_dw").cast("long").alias("n_tok"),
+        F.round(
+            F.lit(1e-9) + F.sum("lr") / F.sum("n_dw") / F.lit(float(_LN2)),
+            4,
+        ).alias("dsir_bits_per_token"),
+    )
+
+
+# =====================================================================
+# Stratified deterministic sample (k docs per source stratum)
+# =====================================================================
+
+_STRAT_K = 5
+
+
+@_q(
+    "stratified_sample_source",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             cast('0x' || substr(md5('strat:' || cast(doc_id AS varchar)),
+                                 1, 15) AS bigint) AS h,
+             count(*) OVER (PARTITION BY source) AS n_source
+      FROM documents
+    ), r AS (
+      SELECT source, doc_id, n_source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY h, doc_id
+             ) AS sample_rank
+      FROM t
+    )
+    SELECT source, doc_id, cast(sample_rank AS bigint) AS sample_rank,
+           cast(n_source AS bigint) AS n_source
+    FROM r WHERE sample_rank <= {_STRAT_K}
+    """,
+)
+def stratified_sample_source(spark, sf_dir):
+    """Stratified deterministic sampling: exactly k docs per source
+    stratum, selected by a salted content hash — the eval-set /
+    human-review draw every curation pipeline needs ("give me 5
+    uniform random docs from EVERY source, reproducibly"). Unlike
+    sample_fraction_bounds (Bernoulli by rate), the stratum size here
+    is exact by construction.
+
+    Determinism: the md5-derived 60-bit key is engine-identical (_h
+    convention) and doc_id breaks ties, so the ranking is total.
+    Scale shape: ONE shuffle by source; within a stratum the window
+    is a streaming rank over the sorted run (no buffering). A hot
+    stratum holding 10^11 docs makes the single-task sort the
+    bottleneck — production then swaps in the two-stage top-k
+    (per-partition local top-k, then merge), same contract. Reference
+    analog: the reference's per-parcel scene subsampling keeps a
+    fixed number of clear-sky acquisitions per parcel
+    (src/02_extract_s2_traits.py)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        _h(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    wc = Window.partitionBy("source")
+    wr = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        d.withColumn("n_source", F.count(F.lit(1)).over(wc))
+        .withColumn("sample_rank", F.row_number().over(wr))
+        .filter(F.col("sample_rank") <= _STRAT_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+            F.col("n_source").cast("long").alias("n_source"),
+        )
+    )

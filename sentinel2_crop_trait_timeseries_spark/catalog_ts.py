@@ -1650,3 +1650,445 @@ def interval_overlap_bursts(spark, sf_dir):
             F.least("i_end", "b_end") - F.greatest("i_start", "b_start")
         ).alias("overlap_us"),
     )
+
+
+# =====================================================================
+# Holt linear-trend smoothing (two-state grid-snapped fold)
+# =====================================================================
+
+_HOUR_US = 3_600_000_000
+
+
+@_q(
+    "holt_linear_user",
+    f"""
+    WITH RECURSIVE o AS MATERIALIZED (
+      SELECT user_id, event_id, {_SQL_US} AS ts_us, {_SQL_CENTS} AS cents,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY {_SQL_US}, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), r AS (
+      SELECT user_id, rn, n,
+             cast(cents AS double) AS l, cast(0.0 AS double) AS b
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.n,
+             floor((0.25 * o.cents + 0.75 * (r.l + r.b)) * 1024 + 0.5)
+               / 1024 AS l,
+             floor((0.25 * (floor((0.25 * o.cents + 0.75 * (r.l + r.b))
+                                  * 1024 + 0.5) / 1024 - r.l)
+                    + 0.75 * r.b) * 1024 + 0.5) / 1024 AS b
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, cast(n AS bigint) AS n_events,
+           cast(l * 1024 AS bigint) AS level_x1024_cents,
+           cast(b * 1024 AS bigint) AS trend_x1024_cents
+    FROM r WHERE rn = n
+    """,
+)
+def holt_linear_user(spark, sf_dir):
+    """Holt's linear-trend exponential smoothing per user (alpha =
+    beta = 1/4): the two-state big sibling of ewma_user_fold — level
+    AND trend evolve together, the classic short-horizon forecaster
+    for metric series (Holt 1957 / Winters 1960, the non-seasonal
+    half).
+
+    Exactness by construction (the ewma_user_fold house rule,
+    extended to a 2-vector state): inputs are integer cents < 2^16,
+    both smoothing constants are powers of two, and BOTH states are
+    re-snapped to the 2^-10 grid after every step, so every
+    intermediate (0.25*v, 0.75*(l+b), l1-l, 3b/4) is an exact IEEE
+    double on the 2^-12 grid — the snap pins the invariant rather
+    than rounding. The surfaced values are the exact grid numerators
+    (x1024, BIGINT): no float leaves the query, so no rounding-mode
+    or negative-halfway concern for the trend (which CAN be
+    negative). Fold order is fixed by (ts_us, event_id) sort.
+
+    Spark-first: collect_list per user -> array_sort -> F.aggregate
+    JVM fold with a STRUCT accumulator {{l, b}} — no Python, ONE
+    shuffle by user_id, state is two doubles regardless of history
+    length. The level update expression is duplicated inside the
+    trend update (lambda let-binding isn't expressible); both engines
+    therefore execute the identical op sequence. Oracle: DuckDB
+    RECURSIVE CTE — an independent evaluation strategy. Reference
+    analog: the EnKF's per-parcel forecast/update recursion
+    (src/ensemble_kalman_filter.py) is the heavyweight cousin."""
+    e = _e(spark, sf_dir)
+    arr = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "cents"))
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+    def _step(acc, x):
+        l1 = F.floor(
+            (0.25 * x["cents"] + 0.75 * (acc["l"] + acc["b"])) * 1024
+            + F.lit(0.5)
+        ) / F.lit(1024.0)
+        b1 = F.floor(
+            (0.25 * (l1 - acc["l"]) + 0.75 * acc["b"]) * 1024 + F.lit(0.5)
+        ) / F.lit(1024.0)
+        return F.struct(l1.alias("l"), b1.alias("b"))
+
+    fold = F.aggregate(
+        F.slice(F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(0))),
+        F.struct(
+            F.element_at(F.col("a"), 1)["cents"].cast("double").alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+        _step,
+    )
+    return arr.select(
+        "user_id",
+        "n_events",
+        (fold["l"] * 1024).cast("long").alias("level_x1024_cents"),
+        (fold["b"] * 1024).cast("long").alias("trend_x1024_cents"),
+    )
+
+
+# =====================================================================
+# Seasonal hour-of-day baseline + anomaly flag (pure integer test)
+# =====================================================================
+
+@_q(
+    "seasonal_hod_anomaly",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, {_SQL_US} AS ts_us,
+             {_SQL_CENTS} AS cents,
+             (epoch_us(ts) // {_HOUR_US}) % 24 AS hod
+      FROM events
+    ), base AS (
+      SELECT event_type, hod, count(*) AS n,
+             sum(cents) AS s, sum(cents * cents) AS ss
+      FROM e GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, cast(e.hod AS bigint) AS hod,
+           e.cents, cast(base.n AS bigint) AS n_base,
+           cast(
+             (cast(e.cents AS hugeint) * base.n - base.s)
+               * (cast(e.cents AS hugeint) * base.n - base.s)
+             > 4 * (cast(base.ss AS hugeint) * base.n
+                    - cast(base.s AS hugeint) * base.s)
+             AS bigint) AS is_anomaly
+    FROM e JOIN base USING (event_type, hod)
+    """,
+)
+def seasonal_hod_anomaly(spark, sf_dir):
+    """Seasonal-baseline anomaly screen: every event is compared to
+    the hour-of-day profile of its own event type, and flagged when
+    its deviation from the (type, hour) mean exceeds 2 standard
+    deviations — the diurnal-profile outlier filter (the reference's
+    mean-minus-std screen, src/04_reconstruct_s2_traits.py:120, keyed
+    by the daily cycle its meteo covariates follow).
+
+    EXACT INTEGER TEST — zero floats anywhere: |c - s/n| > 2*sqrt(
+    (ss*n - s^2)/n^2) is algebraically rearranged to
+    (c*n - s)^2 > 4*(ss*n - s^2), evaluated in 128-bit integer
+    arithmetic (Spark DECIMAL(38,0), DuckDB HUGEINT), so the flag is
+    engine/partitioning/order-independent by construction and safe to
+    ~1e9 rows x 2^16 cents per (type, hour) cell before 38 digits
+    saturate. No sqrt, no division, no rounding convention needed.
+
+    Scale shape: the baseline is a map-side-combinable groupBy to 120
+    rows, broadcast back onto the event stream — ONE shuffle for the
+    tiny agg, the per-event pass is scan-speed and embarrassingly
+    parallel at 100 TB."""
+    e = _e(spark, sf_dir).withColumn(
+        "hod", (F.floor(F.col("ts_us") / _HOUR_US) % 24).cast("long")
+    )
+    base = e.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    d38 = "decimal(38,0)"
+    dev = F.col("cents").cast(d38) * F.col("n") - F.col("s")
+    var4 = 4 * (
+        F.col("ss").cast(d38) * F.col("n")
+        - F.col("s").cast(d38) * F.col("s")
+    )
+    return (
+        e.join(F.broadcast(base), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "cents",
+            F.col("n").cast("long").alias("n_base"),
+            (dev * dev > var4).cast("long").alias("is_anomaly"),
+        )
+    )
+
+
+# =====================================================================
+# Pairwise cross-series correlation (daily sums, all pairs)
+# =====================================================================
+
+_SQL_DAILY = f"""
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             sum({_SQL_CENTS}) AS s
+      FROM events GROUP BY 1, 2
+"""
+
+
+@_q(
+    "corr_types_daily",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n, sum(a.s) AS sx, sum(b.s) AS sy,
+             sum(a.s * b.s) AS sxy, sum(a.s * a.s) AS sx2,
+             sum(b.s * b.s) AS sy2
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, cast(n AS bigint) AS n_days,
+           cast(sx AS bigint) AS sx, cast(sy AS bigint) AS sy,
+           round(1e-9 +
+             (cast(n AS double) * sxy - cast(sx AS double) * sy)
+             / (sqrt(cast(n AS double) * sx2 - cast(sx AS double) * sx)
+                * sqrt(cast(n AS double) * sy2 - cast(sy AS double) * sy)),
+             4) AS pearson_r
+    FROM p
+    WHERE cast(n AS double) * sx2 - cast(sx AS double) * sx > 0
+      AND cast(n AS double) * sy2 - cast(sy AS double) * sy > 0
+    """,
+)
+def corr_types_daily(spark, sf_dir):
+    """Cross-series correlation matrix: Pearson r between the daily
+    value sums of every event-type pair (upper triangle) — "do
+    purchases track clicks day over day?", the first question asked
+    of any co-collected metric family. Reference analog: GLAI vs CCC
+    trait trajectories over the same parcel days
+    (src/04_reconstruct_s2_traits.py dual-trait reconstruction).
+
+    Determinism: the six sufficient statistics (n, sx, sy, sxy, sx2,
+    sy2) are EXACT BIGINT sums of cent products (shuffle-order-
+    independent); r is then computed in ONE identical double
+    expression tree — every op (*, -, /, sqrt) is correctly-rounded
+    IEEE on identical operands, so both engines produce the same bits
+    before the round(1e-9 + x, 4). Zero-variance series are excluded
+    exactly (integer test). At 10^12-day scale the bigint products
+    approach 2^63 — production promotes the stats to DECIMAL(38,0),
+    same plan shape.
+
+    Scale shape: daily collapse first (map-side combinable; output =
+    days x types, tiny), self-join on day, second tiny agg — the
+    quadratic pair blowup is over TYPES (bounded), never over raw
+    rows."""
+    e = _e(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.floor(F.col("ts_us") / _DAY_US).alias("day")
+    ).agg(F.sum("cents").alias("s"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day").alias("day"),
+        F.col("s").alias("xs"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day"),
+        F.col("s").alias("ys"),
+    )
+    p = (
+        a.join(b, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xs").alias("sx"),
+            F.sum("ys").alias("sy"),
+            F.sum(F.col("xs") * F.col("ys")).alias("sxy"),
+            F.sum(F.col("xs") * F.col("xs")).alias("sx2"),
+            F.sum(F.col("ys") * F.col("ys")).alias("sy2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sx2") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("sy2") - F.col("sy").cast("double") * F.col("sy")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return (
+        p.filter((vx > 0) & (vy > 0))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("sx").cast("long").alias("sx"),
+            F.col("sy").cast("long").alias("sy"),
+            F.round(
+                F.lit(1e-9) + num / (F.sqrt(vx) * F.sqrt(vy)), 4
+            ).alias("pearson_r"),
+        )
+    )
+
+
+# =====================================================================
+# Lead-lag cross-correlation scan (click -> purchase at lag 0..3 days)
+# =====================================================================
+
+_XCORR_MAX_LAG = 3
+
+
+@_q(
+    "xcorr_lag_scan",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    a AS (SELECT day, s FROM daily WHERE event_type = 'click'),
+    b AS (SELECT day, s FROM daily WHERE event_type = 'purchase'),
+    lags AS (
+      SELECT unnest(generate_series(0, {_XCORR_MAX_LAG})) AS lag_days
+    ),
+    p AS (
+      SELECT l.lag_days, count(*) AS n, sum(a.s) AS sx, sum(b.s) AS sy,
+             sum(a.s * b.s) AS sxy, sum(a.s * a.s) AS sx2,
+             sum(b.s * b.s) AS sy2
+      FROM lags l
+      JOIN a ON true
+      JOIN b ON b.day = a.day + l.lag_days
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT lag_days, n,
+             round(1e-9 +
+               (cast(n AS double) * sxy - cast(sx AS double) * sy)
+               / (sqrt(cast(n AS double) * sx2 - cast(sx AS double) * sx)
+                  * sqrt(cast(n AS double) * sy2
+                         - cast(sy AS double) * sy)),
+               4) AS xcorr
+      FROM p
+      WHERE cast(n AS double) * sx2 - cast(sx AS double) * sx > 0
+        AND cast(n AS double) * sy2 - cast(sy AS double) * sy > 0
+    )
+    SELECT cast(lag_days AS bigint) AS lag_days,
+           cast(n AS bigint) AS n_days, xcorr,
+           cast(row_number() OVER (ORDER BY xcorr DESC, lag_days)
+                AS bigint) AS lag_rank
+    FROM r
+    """,
+)
+def xcorr_lag_scan(spark, sf_dir):
+    """Lead-lag analysis: Pearson cross-correlation between the daily
+    'click' series and the 'purchase' series shifted by 0..3 days,
+    ranked — "how many days does purchasing lag clicking?", the CCF
+    scan behind every conversion-delay / leading-indicator question.
+    Reference analog: thermal-time accumulation deliberately LAGS the
+    raw temperature forcing; the reference aligns assimilation
+    anchors to lagged dose-response sums (src/04_reconstruct_
+    s2_traits.py:397).
+
+    Determinism: same contract as corr_types_daily (exact BIGINT
+    sufficient statistics per lag; one identical correctly-rounded
+    double expression; round(1e-9 + x, 4)); the rank then orders the
+    ALREADY-ROUNDED r (ties broken by lag), so it is deterministic
+    too. The lag shift is exact integer day arithmetic.
+
+    Scale shape: daily collapse first, then the lag explode
+    multiplies the TINY daily relation by 4 — an equi-join on
+    (day + lag), never a range predicate; final agg is 4 rows. The
+    daily series of one type fits any executor at any corpus size
+    (one row per day)."""
+    e = _e(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.floor(F.col("ts_us") / _DAY_US).alias("day")
+    ).agg(F.sum("cents").alias("s"))
+    a = daily.filter(F.col("event_type") == "click").select(
+        "day", F.col("s").alias("xs")
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("bday"), F.col("s").alias("ys")
+    )
+    al = a.withColumn(
+        "lag_days", F.explode(F.sequence(F.lit(0), F.lit(_XCORR_MAX_LAG)))
+    ).withColumn("lag_days", F.col("lag_days").cast("long"))
+    p = (
+        al.join(b, al["day"] + al["lag_days"] == b["bday"])
+        .groupBy("lag_days")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xs").alias("sx"),
+            F.sum("ys").alias("sy"),
+            F.sum(F.col("xs") * F.col("ys")).alias("sxy"),
+            F.sum(F.col("xs") * F.col("xs")).alias("sx2"),
+            F.sum(F.col("ys") * F.col("ys")).alias("sy2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sx2") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("sy2") - F.col("sy").cast("double") * F.col("sy")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    r = (
+        p.filter((vx > 0) & (vy > 0))
+        .select(
+            "lag_days",
+            F.col("n").cast("long").alias("n_days"),
+            F.round(F.lit(1e-9) + num / (F.sqrt(vx) * F.sqrt(vy)), 4).alias(
+                "xcorr"
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("xcorr"), "lag_days")
+    return r.withColumn(
+        "lag_rank", F.row_number().over(w).cast("long")
+    )
+
+
+# =====================================================================
+# Hopping (sliding) window counts — 6 h window, 1 h hop
+# =====================================================================
+
+_HOP_SLOTS = 6  # window width in hops
+
+
+@_q(
+    "hopping_window_counts",
+    f"""
+    SELECT event_type,
+           cast(slot * {_HOUR_US} AS bigint) AS window_start_us,
+           cast(count(*) AS bigint) AS n_events,
+           cast(sum(cents) AS bigint) AS sum_cents
+    FROM (
+      SELECT event_type, {_SQL_CENTS} AS cents,
+             unnest(generate_series(epoch_us(ts) // {_HOUR_US}
+                                      - {_HOP_SLOTS - 1},
+                                    epoch_us(ts) // {_HOUR_US})) AS slot
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def hopping_window_counts(spark, sf_dir):
+    """Hopping-window aggregation: 6-hour windows advancing every
+    hour (each event lands in the 6 overlapping windows that contain
+    it) — the sliding-rate primitive behind alerting ("events in the
+    last 6 h, refreshed hourly"); the overlap-by-explode twin of the
+    tumbling tiers in rollup.py, and exactly what Spark Structured
+    Streaming's window(ts, '6 hours', '1 hour') computes — here in
+    batch with integer slot arithmetic (no tz, no timestamp type).
+
+    Determinism: slot ids and sums are pure BIGINT. Scale shape: the
+    explode is a NARROW 6x row multiply (no shuffle), followed by one
+    map-side-combinable groupBy on (type, slot) — the canonical
+    scale-out plan for overlapping windows; cardinality out is
+    hours x types regardless of input size."""
+    e = _e(spark, sf_dir)
+    hour = F.floor(F.col("ts_us") / _HOUR_US)
+    return (
+        e.select(
+            "event_type",
+            "cents",
+            F.explode(
+                F.sequence(hour - (_HOP_SLOTS - 1), hour)
+            ).alias("slot"),
+        )
+        .groupBy("event_type", (F.col("slot") * _HOUR_US).cast("long").alias("window_start_us"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
