@@ -22,7 +22,7 @@ from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES  # noqa: E402
 # ~50 queries in dict order (the "window"). More than 50 are registered,
 # so _HEAD/_TAIL ROTATE each round: _TAIL entries move into _HEAD on the
 # following rounds, oldest-driver-verification first, so the union of
-# consecutive driver artifacts covers every registered query. With 108
+# consecutive driver artifacts covers every registered query. With 115
 # registered and a 50-entry window the covering union is THREE rounds
 # (two rounds cap at 100); rotation priority for round N+1's _HEAD is
 # (1) queries never driver-verified (added after round N's window
@@ -183,6 +183,13 @@ _TAIL = [
     "corr_types_daily",
     "xcorr_lag_scan",
     "hopping_window_counts",
+    # late-r5 layout/sketch batch (catalog_sketch.py, also post-window):
+    # z-order clustering cells, count-min heavy hitters, Bloom semi-join
+    # pruning — 3-SF oracle-verified locally + CI tail-checked; rotate
+    # into r6's _HEAD with the blocks above
+    "zorder_cell_stats",
+    "heavy_hitters_cms",
+    "bloom_semijoin_prune",
 ]
 
 assert len(_HEAD) == _WINDOW, (

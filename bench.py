@@ -129,6 +129,11 @@ HEADLINE = [
     "corr_types_daily",
     "xcorr_lag_scan",
     "hopping_window_counts",
+    # round-5 batch 5 (layout/sketch): z-order clustering cells,
+    # count-min heavy hitters, Bloom semi-join pruning
+    "zorder_cell_stats",
+    "heavy_hitters_cms",
+    "bloom_semijoin_prune",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

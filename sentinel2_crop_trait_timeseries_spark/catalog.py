@@ -1696,3 +1696,4 @@ def kernel_smooth_events(spark, sf_dir):
 from sentinel2_crop_trait_timeseries_spark import catalog_docs  # noqa: E402,F401
 from sentinel2_crop_trait_timeseries_spark import catalog_engine  # noqa: E402,F401
 from sentinel2_crop_trait_timeseries_spark import catalog_ts  # noqa: E402,F401
+from sentinel2_crop_trait_timeseries_spark import catalog_sketch  # noqa: E402,F401
