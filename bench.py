@@ -134,6 +134,7 @@ HEADLINE = [
     "zorder_cell_stats",
     "heavy_hitters_cms",
     "bloom_semijoin_prune",
+    "kmv_distinct_estimate",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -222,6 +222,95 @@ def heavy_hitters_cms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# KMV (k-minimum-values) cardinality sketch: the k=256 smallest 60-bit
+# word hashes; unbiased estimator (k-1) * U / h_(k) (Beyer et al.,
+# SIGMOD '07). Completes the sketch triad: membership (Bloom),
+# frequency (CMS), cardinality (KMV) — all deterministic and mergeable.
+# ---------------------------------------------------------------------
+_KMV_K = 256
+_U40 = 1 << 40  # estimate on the 40-bit scale so (k-1)*U fits a bigint
+
+
+@_q(
+    "kmv_distinct_estimate",
+    f"""
+    WITH w AS (
+      SELECT DISTINCT cast('0x' || substr(md5(t.w), 1, 15) AS bigint) AS h
+      FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents) t
+    ), k AS (
+      SELECT h FROM w ORDER BY h LIMIT {_KMV_K}
+    ), s AS (
+      SELECT max(h) AS h_k, cast(count(*) AS bigint) AS k_eff FROM k
+    ), x AS (
+      SELECT cast(count(*) AS bigint) AS n_exact FROM w
+    )
+    SELECT x.n_exact, s.k_eff, s.h_k,
+           (s.k_eff - 1) * {_U40} // (s.h_k // {1 << 20}) AS kmv_est,
+           abs((s.k_eff - 1) * {_U40} // (s.h_k // {1 << 20}) - x.n_exact)
+             * 10000 // x.n_exact AS err_bp
+    FROM s, x
+    """,
+)
+def kmv_distinct_estimate(spark, sf_dir):
+    """KMV distinct-word estimate vs the exact count, one row.
+
+    The sketch is the 256 smallest DISTINCT 60-bit word hashes; the
+    k-th smallest order statistic gives the unbiased estimate
+    ``(k-1) * U / h_(k)``. Everything is integer: ordering and the
+    limit cut use the full tie-free 60-bit hash, the estimate divides
+    on the 40-bit scale so ``(k-1) * U`` stays inside a bigint, and the
+    error is surfaced in basis points via integer division — the twin
+    is exact by construction. Scale story: bottom-k is a
+    TakeOrderedAndProject (map-side partial top-k, no shuffle of the
+    corpus) and the sketch MERGES — bottom-k of a union is the
+    bottom-k of the per-shard bottom-k's (pinned by a pytest on a
+    parity split). Exact distinct needs a full shuffle of the vocab;
+    the sketch needs 256 rows, which is the entire point at 100 TB.
+    Reference analog: pixel_count.txt's exact per-parcel tally
+    (BASELINE.md) — this is the sketch-shaped scale path for counts
+    the reference computes exactly.
+    """
+    d = _t(spark, sf_dir, "documents")
+    h = (
+        d.select(
+            F.explode(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            ).alias("word")
+        )
+        .select(
+            F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    s = (
+        h.orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).cast("long").alias("k_eff"))
+    )
+    x = h.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    est = F.expr(f"(k_eff - 1) * {_U40} div (h_k div {1 << 20})")
+    return (
+        x.crossJoin(F.broadcast(s))
+        .select(
+            "n_exact",
+            "k_eff",
+            "h_k",
+            est.alias("kmv_est"),
+            F.expr(
+                f"abs((k_eff - 1) * {_U40} div (h_k div {1 << 20}) - n_exact)"
+                " * 10000 div n_exact"
+            ).alias("err_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
 # Partitioned Bloom filter semi-join: k=3 salted md5 hashes into m=4096
 # buckets per hash row; a probe key passes iff ALL 3 of its (i, bucket)
 # cells are set.

@@ -94,6 +94,43 @@ def test_cms_no_collision_tiny_vocab(spark, tmp_path):
         assert r["overcount"] == 0
 
 
+def test_kmv_estimate_and_mergeability(spark):
+    row = QUERIES["kmv_distinct_estimate"]["fn"](spark, SF).collect()[0]
+    assert row["k_eff"] == min(256, row["n_exact"])
+    assert row["err_bp"] == abs(row["kmv_est"] - row["n_exact"]) * 10000 // row["n_exact"]
+    # k=256 gives sigma ~ 1/sqrt(k-2) ~ 6.3%; 20% is a ~3-sigma bound
+    # on this fixed deterministic fixture
+    assert row["err_bp"] < 2000
+
+    # mergeability: bottom-k of per-shard bottom-k's == global bottom-k
+    from sentinel2_crop_trait_timeseries_spark.catalog_sketch import _KMV_K
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    h = d.select(
+        F.col("doc_id"),
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("w"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    glob = [r["h"] for r in h.select("h").distinct().orderBy("h").limit(_KMV_K).collect()]
+    shards = []
+    for p in (0, 1):
+        shards += [
+            r["h"]
+            for r in h.filter(F.col("doc_id") % 2 == p)
+            .select("h")
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_K)
+            .collect()
+        ]
+    merged = sorted(set(shards))[:_KMV_K]
+    assert merged == glob
+
+
 def test_bloom_no_false_negatives_and_counts(spark):
     row = QUERIES["bloom_semijoin_prune"]["fn"](spark, SF).collect()[0]
     orders = spark.read.parquet(f"{SF}/orders.parquet")
@@ -113,6 +150,11 @@ def test_sketch_plans(spark):
         plan = _executed(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    # the KMV bottom-k must be a map-side partial top-k, and its only
+    # join is the 1-row broadcast of the sketch stats
+    kmv = _executed(spark, "kmv_distinct_estimate")
+    assert "TakeOrderedAndProject" in kmv
+    assert "CartesianProduct" not in kmv and "SortMergeJoin" not in kmv
     # the Bloom probe and the CMS estimate join must stay broadcast
     assert "BroadcastHashJoin" in _executed(spark, "bloom_semijoin_prune")
     assert "BroadcastHashJoin" in _executed(spark, "heavy_hitters_cms")
