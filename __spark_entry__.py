@@ -22,7 +22,7 @@ from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES  # noqa: E402
 # ~50 queries in dict order (the "window"). More than 50 are registered,
 # so _HEAD/_TAIL ROTATE each round: _TAIL entries move into _HEAD on the
 # following rounds, oldest-driver-verification first, so the union of
-# consecutive driver artifacts covers every registered query. With 119
+# consecutive driver artifacts covers every registered query. With 121
 # registered and a 50-entry window the covering union is THREE rounds
 # (two rounds cap at 100); rotation priority for round N+1's _HEAD is
 # (1) queries never driver-verified (added after round N's window
@@ -191,6 +191,12 @@ _TAIL = [
     "heavy_hitters_cms",
     "bloom_semijoin_prune",
     "kmv_distinct_estimate",
+    # late-r5 timeseries/streaming additions (also post-window): state
+    # durations (TimescaleDB state_agg) and the watermarked TRUE
+    # stream-stream interval join — 3-SF oracle-verified locally + CI
+    # tail-checked; rotate into r6's _HEAD with the blocks above
+    "state_durations_user",
+    "streaming_interval_join",
 ]
 
 assert len(_HEAD) == _WINDOW, (

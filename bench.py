@@ -135,6 +135,8 @@ HEADLINE = [
     "heavy_hitters_cms",
     "bloom_semijoin_prune",
     "kmv_distinct_estimate",
+    "state_durations_user",
+    "streaming_interval_join",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -2092,3 +2092,96 @@ def hopping_window_counts(spark, sf_dir):
             F.sum("cents").cast("long").alias("sum_cents"),
         )
     )
+
+
+# =====================================================================
+# State durations (TimescaleDB state_agg / duration_in)
+# =====================================================================
+
+@_q(
+    "state_durations_user",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_type, event_id, {_SQL_US} AS ts_us,
+             lead({_SQL_US}) OVER (
+               PARTITION BY user_id ORDER BY {_SQL_US}, event_id
+             ) AS next_us
+      FROM events
+    )
+    SELECT user_id, event_type AS state,
+           cast(sum(next_us - ts_us) AS bigint) AS total_us,
+           cast(count(next_us) AS bigint) AS n_segments
+    FROM o
+    WHERE next_us IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def state_durations_user(spark, sf_dir):
+    """State-timeline aggregation: per user, total time spent in each
+    event_type state (TimescaleDB ``state_agg``/``duration_in``). A
+    state holds LOCF-style from its event until the user's next event;
+    each user's final event opens no segment (no successor — the same
+    convention ``duration_in`` uses for a still-open state). Exact
+    BIGINT µs end to end; ties broken by (ts_us, event_id) on both
+    engines. ONE shuffle by user shared by the lead window and the
+    (user, state) aggregate. Reference analog: the per-pixel phase
+    segmentation between assimilated anchor points — how long each
+    series sits in each growth phase (src/04_reconstruct_s2_traits.py:162
+    interpolation segments) — here as the named warehouse operator."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr(_US).alias("ts_us"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        e.withColumn("next_us", F.lead("ts_us").over(wo))
+        .filter(F.col("next_us").isNotNull())
+        .groupBy("user_id", F.col("event_type").alias("state"))
+        .agg(
+            F.sum(F.col("next_us") - F.col("ts_us")).cast("long").alias("total_us"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+        )
+    )
+
+
+# =====================================================================
+# Streaming stream-stream interval join (watermarked symmetric hash)
+# =====================================================================
+
+@_q(
+    "streaming_interval_join",
+    f"""
+    SELECT v.event_id AS view_id, v.user_id,
+           {_SQL_US.replace('ts', 'v.ts')} AS view_ts_us,
+           c.event_id AS click_id,
+           {_SQL_US.replace('ts', 'c.ts')} AS click_ts_us,
+           {_SQL_CENTS.replace('value', 'c.value')} AS click_cents,
+           {_SQL_US.replace('ts', 'v.ts')} - {_SQL_US.replace('ts', 'c.ts')}
+             AS lag_us
+    FROM events v JOIN events c
+      ON c.user_id = v.user_id AND c.event_type = 'click'
+     AND {_SQL_US.replace('ts', 'c.ts')}
+         BETWEEN {_SQL_US.replace('ts', 'v.ts')} - 21600000000
+             AND {_SQL_US.replace('ts', 'v.ts')}
+    WHERE v.event_type <> 'click' AND v.event_id % 5 = 0
+    """,
+)
+def streaming_interval_join(spark, sf_dir):
+    """TRUE stream-stream join: views and clicks arrive as two
+    watermarked streams and inner-join on user within the backward
+    6-hour horizon (streaming/join_stream.py). Unlike the asof/dedup
+    probes (stream vs STATIC index), both sides here are live — Spark
+    runs StreamingSymmetricHashJoin, buffering each side in keyed state
+    that the watermark + time bound provably EVICT (unbounded state is
+    the failure mode at 100 TB; the time bound is what makes the state
+    finite). The oracle is the batch interval join of the same slices:
+    with availableNow the append-mode stream must emit exactly those
+    rows — a hash match proves no row is dropped, duplicated, or
+    mis-joined by the state machinery."""
+    from sentinel2_crop_trait_timeseries_spark.streaming.join_stream import (
+        run_interval_join_stream_once,
+    )
+
+    return run_interval_join_stream_once(spark, sf_dir)

@@ -398,3 +398,74 @@ def test_interval_overlap_is_exact_range_join(spark, events):
         if i["min"] <= b["max"] and b["min"] <= i["max"]
     )
     assert len(got) == n_expected
+
+
+# ------------------------------------------------------------------
+# Late round 5: state durations + stream-stream interval join
+# ------------------------------------------------------------------
+
+
+def test_state_durations_telescopes(spark):
+    from pyspark.sql import functions as F
+
+    out = _run(spark, "state_durations_user")
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "max(cast(unix_micros(cast(ts as timestamp)) as bigint))"
+                " - min(cast(unix_micros(cast(ts as timestamp)) as bigint))"
+            ).alias("span_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    g = out.groupby("user_id").agg(total=("total_us", "sum"), segs=("n_segments", "sum"))
+    for uid, row in g.iterrows():
+        # segments abut LOCF-style: per-user durations telescope to the
+        # user's full observed span, one segment per event except the last
+        assert row["total"] == ev.loc[uid, "span_us"]
+        assert row["segs"] == ev.loc[uid, "n"] - 1
+    assert (out["total_us"] >= 0).all()
+
+
+def test_streaming_interval_join_matches_batch_twin(spark):
+    from pyspark.sql import functions as F
+
+    out = _run(spark, "streaming_interval_join").sort_values(
+        ["view_id", "click_id"]
+    ).reset_index(drop=True)
+    # semantic bounds: backward horizon only, sampled views only
+    assert (out["lag_us"] >= 0).all() and (out["lag_us"] <= 21_600_000_000).all()
+    assert (out["view_id"] % 5 == 0).all()
+    # batch twin computed directly with DataFrame ops
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("cast(unix_micros(cast(ts as timestamp)) as bigint)").alias("us"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    v = e.filter((F.col("event_type") != "click") & (F.col("event_id") % 5 == 0))
+    c = e.filter(F.col("event_type") == "click")
+    twin = (
+        v.alias("v")
+        .join(
+            c.alias("c"),
+            (F.col("v.user_id") == F.col("c.user_id"))
+            & (F.col("c.us") >= F.col("v.us") - 21_600_000_000)
+            & (F.col("c.us") <= F.col("v.us")),
+        )
+        .select(
+            F.col("v.event_id").alias("view_id"),
+            F.col("c.event_id").alias("click_id"),
+        )
+        .toPandas()
+        .sort_values(["view_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out[["view_id", "click_id"]].values)) == list(
+        map(tuple, twin.values)
+    )
