@@ -469,3 +469,15 @@ def test_streaming_interval_join_matches_batch_twin(spark):
     assert list(map(tuple, out[["view_id", "click_id"]].values)) == list(
         map(tuple, twin.values)
     )
+
+
+def test_streaming_interval_join_empty_arrivals(spark):
+    from sentinel2_crop_trait_timeseries_spark.streaming.join_stream import (
+        run_interval_join_stream_once,
+    )
+
+    # no event_id divides 10^9 in the fixture -> zero arrivals; the
+    # sink's metadata log still defines an empty 7-column result
+    df = run_interval_join_stream_once(spark, SF, mod=10**9)
+    assert df.count() == 0
+    assert len(df.columns) == 7
