@@ -330,3 +330,54 @@ def test_interval_overlap_no_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_skew_join_engages(spark):
+    """BASELINE.json's north_star names 'AQE skew-join handling' as part
+    of the partitioning story; session.py enables it, but enabled is
+    not engaged — this pins that a genuinely skewed join actually gets
+    the skew split (skew=true on the SMJ in the FINAL adaptive plan).
+    Thresholds are lowered because fixture-scale partitions never reach
+    the production 256 MB default; the mechanism under test is the
+    same. The join's own queryExecution must be executed (collect) —
+    count() builds a different query and leaves this plan unfinalized."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        hot = spark.range(50_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(10_000).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(51).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = hot.unionByName(cold).join(right, "k")
+        assert len(j.collect()) == 60_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in keep.items():
+            if v is not None:
+                spark.conf.set(k, v)
