@@ -105,12 +105,35 @@ def run_once(cores: int) -> dict:
     an 8-core proxy: JVM helper threads (GC, Arrow IPC, ColumnarToRow)
     run beside the 8 task slots. busy_cores in the output verifies the
     mask held for each run."""
+    # SCALING_JOB selects the measured pipeline: 'fused' (default) is
+    # the zero-Exchange narrow flagship; 'hourly_shuffle' is the
+    # SHUFFLING twin — gapfill dense points into the central
+    # groupBy(source, doc_id, hour) rollup — so executor scaling is
+    # evidenced for both plan classes, not just the embarrassingly
+    # parallel one.
+    job = os.environ.get("SCALING_JOB", "fused")
+    if job == "hourly_shuffle":
+        job_lines = (
+            "from sentinel2_crop_trait_timeseries_spark.operators.gapfill"
+            " import gapfill\n"
+            "from sentinel2_crop_trait_timeseries_spark.operators.rollup"
+            " import rollup_tier\n"
+            "def _job(df):\n"
+            "    return rollup_tier(gapfill(df, knockout=0.1), 'hourly')\n"
+        )
+    else:
+        job_lines = (
+            "from sentinel2_crop_trait_timeseries_spark.operators.gapfill"
+            " import gapfill_tiers\n"
+            "def _job(df):\n"
+            "    return gapfill_tiers(df, knockout=0.1)\n"
+        )
     script = (
         "import os, sys, json, time\n"
         f"os.sched_setaffinity(0, set(range({cores})))\n"
         f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
         "from sentinel2_crop_trait_timeseries_spark.session import get_spark\n"
-        "from sentinel2_crop_trait_timeseries_spark.operators.gapfill import gapfill_tiers\n"
+        + job_lines +
         "def _stat():\n"
         "    p = open('/proc/stat').readline().split()\n"
         "    u, n, s, _i, _io, irq, sirq, st = map(int, p[1:9])\n"
@@ -119,11 +142,11 @@ def run_once(cores: int) -> dict:
         f" shuffle_partitions={cores})\n"
         f"seq = spark.read.parquet({SEQ_PATH!r})\n"
         f"warm = seq.limit({cores * 4}).repartition({cores})\n"
-        "gapfill_tiers(warm, knockout=0.1).write.format('noop')"
+        "_job(warm).write.format('noop')"
         ".mode('overwrite').save()\n"
         "b0, s0 = _stat()\n"
         "t0 = time.perf_counter()\n"
-        "gapfill_tiers(seq, knockout=0.1).write.format('noop')"
+        "_job(seq).write.format('noop')"
         ".mode('overwrite').save()\n"
         "sec = time.perf_counter() - t0\n"
         "b1, s1 = _stat()\n"
@@ -223,7 +246,12 @@ def main() -> None:
 
     clean_med = med(clean)
     out = {
-        "job": "fused gapfill + per-doc 3-tier rollup (narrow, noop sink)",
+        "job": (
+            "gapfill -> central groupBy(source,doc_id,hour) rollup "
+            "(ONE shuffle, noop sink)"
+            if os.environ.get("SCALING_JOB") == "hourly_shuffle"
+            else "fused gapfill + per-doc 3-tier rollup (narrow, noop sink)"
+        ),
         "methodology": "back-to-back alternating-order pairs; 32-way burn "
                        "probes bracket each run; CLEAN pair = all probes >= "
                        f"{tol:.0%} of session peak capacity AND ratio <= "
