@@ -107,19 +107,23 @@ def run_once(cores: int) -> dict:
     mask held for each run."""
     # SCALING_JOB selects the measured pipeline: 'fused' (default) is
     # the zero-Exchange narrow flagship; 'hourly_shuffle' is the
-    # SHUFFLING twin — gapfill dense points into the central
-    # groupBy(source, doc_id, hour) rollup — so executor scaling is
-    # evidenced for both plan classes, not just the embarrassingly
-    # parallel one.
+    # SHUFFLING twin — decode raw observations into the central
+    # groupBy(source, doc_id, hour) rollup (engine_rollup_cascade's
+    # first stage: the ONE place raw rows cross the wire) — so executor
+    # scaling is evidenced for both plan classes, not just the
+    # embarrassingly parallel one. (Rolling up GAPFILLED points would
+    # shuffle the full 193M dense rows with no map-side reduction —
+    # a 100x-overweight non-representative job; measured 7+ min/run
+    # before this was corrected to the raw-observation shape.)
     job = os.environ.get("SCALING_JOB", "fused")
     if job == "hourly_shuffle":
         job_lines = (
-            "from sentinel2_crop_trait_timeseries_spark.operators.gapfill"
-            " import gapfill\n"
+            "from sentinel2_crop_trait_timeseries_spark.operators.decode"
+            " import decode_observations_arrow\n"
             "from sentinel2_crop_trait_timeseries_spark.operators.rollup"
             " import rollup_tier\n"
             "def _job(df):\n"
-            "    return rollup_tier(gapfill(df, knockout=0.1), 'hourly')\n"
+            "    return rollup_tier(decode_observations_arrow(df), 'hourly')\n"
         )
     else:
         job_lines = (
@@ -247,8 +251,8 @@ def main() -> None:
     clean_med = med(clean)
     out = {
         "job": (
-            "gapfill -> central groupBy(source,doc_id,hour) rollup "
-            "(ONE shuffle, noop sink)"
+            "decode -> central groupBy(source,doc_id,hour) rollup "
+            "(ONE shuffle of raw observations, noop sink)"
             if os.environ.get("SCALING_JOB") == "hourly_shuffle"
             else "fused gapfill + per-doc 3-tier rollup (narrow, noop sink)"
         ),
