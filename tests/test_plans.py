@@ -381,3 +381,7 @@ def test_aqe_skew_join_engages(spark):
         for k, v in keep.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                # key was UNSET before; restoring by set("-1") would
+                # leak AQE-broadcast-disabled into later tests
+                spark.conf.unset(k)
