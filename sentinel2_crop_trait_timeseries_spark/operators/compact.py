@@ -1,0 +1,83 @@
+"""Small-file compaction for parquet directories — the table-maintenance
+half of the retention engine.
+
+A streaming/incremental ingest (the foreachBatch cascade tiers, the
+manifest-resumed pipeline) accumulates many small files per partition;
+at 100 TB the resulting scan overhead (file-open cost, tiny row
+groups, scheduler pressure from millions of splits) is a first-order
+performance problem, which is why every production table format ships
+a compaction action (Iceberg rewrite_data_files, Delta OPTIMIZE).
+Reference analog: the reference re-packs its per-parcel pickle
+directories between pipeline stages and skips already-processed ones
+(src/04_reconstruct_s2_traits.py:556-575) — this is that step as an
+idempotent engine operator.
+
+Semantics:
+- target file count = ceil(n_rows / target_rows_per_file); compaction
+  runs only when the directory currently has MORE parquet files than
+  that (idempotent: a second call is a no-op and says so).
+- the rewrite is atomic on a POSIX filesystem: write to a sibling temp
+  directory, fsync-free double rename (old -> trash, tmp -> live),
+  then remove the trash. Readers see either the old or the new
+  directory, never a mix. On an object store this rename is not
+  atomic — production would commit through a table format's metadata
+  swap instead (see sources/table_io.py's Iceberg seam); the operator
+  keeps that boundary explicit rather than pretending rename works
+  everywhere.
+- row SET equality is the invariant (order within files may change);
+  tests re-read and compare sorted rows.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _parquet_files(path: str) -> list[str]:
+    return [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Compact `path` in place; returns an action report dict
+    (action: 'compacted' | 'skip', files_before/after, n_rows)."""
+    files_before = _parquet_files(path)
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    want = max(1, math.ceil(n_rows / target_rows_per_file))
+    if len(files_before) <= want:
+        return {
+            "action": "skip",
+            "n_rows": n_rows,
+            "files_before": len(files_before),
+            "files_after": len(files_before),
+            "target_files": want,
+        }
+    tmp = path.rstrip("/") + "__compact_tmp"
+    trash = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    # coalesce, not repartition: compaction must not pay a shuffle —
+    # it only concatenates existing partitions into fewer files
+    df.coalesce(want).write.mode("overwrite").parquet(tmp)
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash)
+    return {
+        "action": "compacted",
+        "n_rows": n_rows,
+        "files_before": len(files_before),
+        "files_after": len(_parquet_files(path)),
+        "target_files": want,
+    }
