@@ -137,6 +137,7 @@ HEADLINE = [
     "kmv_distinct_estimate",
     "state_durations_user",
     "streaming_interval_join",
+    "cdc_merge_apply",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -2185,3 +2185,81 @@ def streaming_interval_join(spark, sf_dir):
     )
 
     return run_interval_join_stream_once(spark, sf_dir)
+
+
+# =====================================================================
+# CDC MERGE apply (MERGE INTO semantics: delete / update / insert)
+# =====================================================================
+
+@_q(
+    "cdc_merge_apply",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             cast(round(o_totalprice * 100) AS bigint) AS cents
+      FROM orders
+    ), ch AS (
+      SELECT k, st, cents,
+             CASE WHEN k % 11 = 3 THEN 'D'
+                  WHEN k % 7 = 0 THEN 'U'
+                  WHEN k % 13 = 5 THEN 'I' END AS op
+      FROM o WHERE k % 11 = 3 OR k % 7 = 0 OR k % 13 = 5
+    ), merged AS (
+      SELECT o.k, o.st, o.cents FROM o
+      WHERE o.k NOT IN (SELECT k FROM ch WHERE op IN ('U', 'D'))
+      UNION ALL
+      SELECT k, st, cents + 100 FROM ch WHERE op = 'U'
+      UNION ALL
+      SELECT k + 10000000, st, cents + 200 FROM ch WHERE op = 'I'
+    )
+    SELECT st AS o_orderstatus, cast(count(*) AS bigint) AS n_orders,
+           cast(sum(cents) AS bigint) AS sum_cents
+    FROM merged GROUP BY 1
+    """,
+)
+def cdc_merge_apply(spark, sf_dir):
+    """MERGE INTO semantics on plain DataFrames: apply a deterministic
+    change batch (deletes k%11=3, updates k%7=0 at +1.00, inserts
+    k%13=5 as new keys at +2.00; CASE order gives D > U > I precedence
+    on overlapping keys) to the orders base, then digest the merged
+    table per status in exact cents. This is the write-side sibling of
+    scd2_segment_intervals — what Delta/Iceberg MERGE INTO executes
+    under the hood: anti-join the base against the touched keys, union
+    the new row versions. At 100 TB the change batch is small against
+    the base, so the touched-key set BROADCASTS and the base never
+    shuffles (plan-asserted); table formats add file-level pruning on
+    top, which the z-order/Bloom queries in catalog_sketch.py cover.
+    Reference analog: re-running a campaign overwrites exactly the
+    parcels whose inputs changed and leaves the rest in place
+    (src/04_reconstruct_s2_traits.py:556-575)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    ch = o.withColumn(
+        "op",
+        F.when(F.col("k") % 11 == 3, "D")
+        .when(F.col("k") % 7 == 0, "U")
+        .when(F.col("k") % 13 == 5, "I"),
+    ).filter(F.col("op").isNotNull())
+    touched = ch.filter(F.col("op").isin("U", "D")).select("k")
+    merged = (
+        o.join(F.broadcast(touched), "k", "left_anti")
+        .unionByName(
+            ch.filter(F.col("op") == "U").select(
+                "k", "st", (F.col("cents") + 100).alias("cents")
+            )
+        )
+        .unionByName(
+            ch.filter(F.col("op") == "I").select(
+                (F.col("k") + 10_000_000).alias("k"),
+                "st",
+                (F.col("cents") + 200).alias("cents"),
+            )
+        )
+    )
+    return merged.groupBy(F.col("st").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

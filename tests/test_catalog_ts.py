@@ -481,3 +481,41 @@ def test_streaming_interval_join_empty_arrivals(spark):
     df = run_interval_join_stream_once(spark, SF, mod=10**9)
     assert df.count() == 0
     assert len(df.columns) == 7
+
+
+def test_cdc_merge_identities_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    out = _run(spark, "cdc_merge_apply")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    rows = o.collect()
+    n_del = sum(1 for r in rows if r["k"] % 11 == 3)
+    n_upd = sum(1 for r in rows if r["k"] % 11 != 3 and r["k"] % 7 == 0)
+    n_ins = sum(
+        1
+        for r in rows
+        if r["k"] % 11 != 3 and r["k"] % 7 != 0 and r["k"] % 13 == 5
+    )
+    base_sum = sum(r["cents"] for r in rows)
+    del_sum = sum(r["cents"] for r in rows if r["k"] % 11 == 3)
+    ins_src = sum(
+        r["cents"]
+        for r in rows
+        if r["k"] % 11 != 3 and r["k"] % 7 != 0 and r["k"] % 13 == 5
+    )
+    # merge identities: counts and cents both reconcile exactly
+    assert out["n_orders"].sum() == len(rows) - n_del + n_ins
+    assert (
+        out["sum_cents"].sum()
+        == base_sum - del_sum + 100 * n_upd + ins_src + 200 * n_ins
+    )
+    # the touched-key anti-join must broadcast; the base never shuffles
+    # into a sort-merge join
+    from tests.test_plans import _executed
+
+    plan = _executed(spark, "cdc_merge_apply")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
