@@ -22,7 +22,7 @@ from sentinel2_crop_trait_timeseries_spark.catalog import QUERIES  # noqa: E402
 # ~50 queries in dict order (the "window"). More than 50 are registered,
 # so _HEAD/_TAIL ROTATE each round: _TAIL entries move into _HEAD on the
 # following rounds, oldest-driver-verification first, so the union of
-# consecutive driver artifacts covers every registered query. With 122
+# consecutive driver artifacts covers every registered query. With 123
 # registered and a 50-entry window the covering union is THREE rounds
 # (two rounds cap at 100); rotation priority for round N+1's _HEAD is
 # (1) queries never driver-verified (added after round N's window
@@ -198,6 +198,7 @@ _TAIL = [
     "state_durations_user",
     "streaming_interval_join",
     "cdc_merge_apply",
+    "dq_expectations_orders",
 ]
 
 assert len(_HEAD) == _WINDOW, (

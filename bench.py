@@ -138,6 +138,7 @@ HEADLINE = [
     "state_durations_user",
     "streaming_interval_join",
     "cdc_merge_apply",
+    "dq_expectations_orders",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

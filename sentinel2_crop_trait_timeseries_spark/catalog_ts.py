@@ -2263,3 +2263,97 @@ def cdc_merge_apply(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# =====================================================================
+# Data-quality expectations (dbt tests / Great Expectations analog)
+# =====================================================================
+
+@_q(
+    "dq_expectations_orders",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders
+    ), m AS (
+      SELECT o.*,
+             o.o_custkey IN (SELECT c_custkey FROM customer) AS has_cust
+      FROM o
+    )
+    SELECT cast(count(*) AS bigint) AS n_rows,
+           cast(count(*) - count(o_orderkey) AS bigint) AS n_null_key,
+           cast(count(*) - count(DISTINCT o_orderkey) AS bigint)
+             AS n_dup_keys,
+           cast(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_null_price,
+           cast(sum(CASE WHEN o_totalprice <= 0
+                           OR o_totalprice > 10000000 THEN 1 ELSE 0 END)
+                AS bigint) AS n_price_out_of_range,
+           cast(sum(CASE WHEN NOT has_cust THEN 1 ELSE 0 END) AS bigint)
+             AS n_orphan_custkey,
+           cast(sum(CASE WHEN o_orderdate <  TIMESTAMP '1990-01-01'
+                           OR o_orderdate >= TIMESTAMP '2100-01-01'
+                         THEN 1 ELSE 0 END) AS bigint) AS n_date_out_of_range
+    FROM m
+    """,
+)
+def dq_expectations_orders(spark, sf_dir):
+    """Table-level data-quality audit in ONE pass: the dbt-test /
+    Great Expectations suite (not_null, unique, relationship,
+    accepted_range) computed as exact counts over orders — null keys,
+    duplicate primary keys (count - count distinct), null and
+    out-of-range prices, referential orphans against customer, and
+    out-of-range dates. One scan plus one BROADCAST membership join
+    (the dimension side is small; the fact side never shuffles for the
+    relationship test — the same Bloom-style pattern
+    catalog_sketch.bloom_semijoin_prune quantifies); all outputs are
+    integers, so the oracle is exact. At 100 TB this runs at scan
+    speed as a post-ingest gate — the engine twin of the reference's
+    plausibility screens (uncertainty and bound filters,
+    SURVEY.md §2.2 #14). Reference analog: the reference validates
+    reconstruction outputs against in-situ plausibility bounds before
+    use (src/04_reconstruct_s2_traits.py:627-632)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    ).distinct().withColumn("has_cust", F.lit(True))
+    m = o.join(F.broadcast(c), o["o_custkey"] == c["ck"], "left").select(
+        o["*"], F.coalesce("has_cust", F.lit(False)).alias("has_cust")
+    )
+    one, zero = F.lit(1), F.lit(0)
+    return m.agg(
+        F.count(one).cast("long").alias("n_rows"),
+        (F.count(one) - F.count("o_orderkey")).cast("long").alias("n_null_key"),
+        (F.count(one) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_dup_keys"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), one).otherwise(zero))
+        .cast("long")
+        .alias("n_null_price"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > 10_000_000),
+                one,
+            ).otherwise(zero)
+        )
+        .cast("long")
+        .alias("n_price_out_of_range"),
+        F.sum(F.when(~F.col("has_cust"), one).otherwise(zero))
+        .cast("long")
+        .alias("n_orphan_custkey"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2100-01-01").cast("timestamp")
+                ),
+                one,
+            ).otherwise(zero)
+        )
+        .cast("long")
+        .alias("n_date_out_of_range"),
+    )

@@ -519,3 +519,24 @@ def test_cdc_merge_identities_and_plan(spark):
     plan = _executed(spark, "cdc_merge_apply")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dq_expectations_independent_recompute(spark):
+    from pyspark.sql import functions as F
+
+    row = _run(spark, "dq_expectations_orders").iloc[0]
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    assert row["n_rows"] == o.count()
+    # independent recomputes via different operators
+    dup = (
+        o.groupBy("o_orderkey").count().filter("count > 1")
+        .agg(F.sum(F.col("count") - 1)).collect()[0][0]
+    )
+    assert row["n_dup_keys"] == (dup or 0)
+    orphan = o.join(
+        c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti"
+    ).count()
+    assert row["n_orphan_custkey"] == orphan
+    for col in row.index:
+        assert row[col] >= 0
