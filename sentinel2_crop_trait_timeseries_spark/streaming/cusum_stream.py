@@ -165,3 +165,101 @@ def run_cusum_stream_once(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def run_cusum_stream_resumable(
+    spark: SparkSession,
+    sf_dir: str,
+    file_name: str = "events.parquet",
+    n_chunks: int = 4,
+    split_at: int = 2,
+) -> DataFrame:
+    """Checkpoint-recovery twin of run_cusum_stream_once: process the
+    first `split_at` chunks, STOP the query, then start a NEW query on
+    the same checkpoint + sink after the remaining chunks appear. The
+    file source's commit log replays nothing (each chunk is processed
+    exactly once) and the state store restores the per-user CUSUM
+    5-tuple, so the final per-user state must be identical to the
+    one-shot run — the crash/redeploy durability contract of a
+    production monitor. Returns the final state row per user."""
+    import shutil
+
+    from sentinel2_crop_trait_timeseries_spark.catalog_ts import (
+        _CUSUM_H,
+        _CUSUM_K,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/{file_name}").select(
+        "user_id",
+        "event_id",
+        F.expr(_US).alias("ts_us"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    lc = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("cents")).alias("lc")
+    )
+    n = F.size("lc").cast("long")
+    targets = lc.select(
+        "user_id",
+        (
+            F.element_at("lc", ((n + 1) / 2).cast("int"))
+            + F.element_at("lc", (n / 2 + 1).cast("int"))
+        ).alias("target_x2"),
+    ).localCheckpoint(eager=True)
+
+    stage = tempfile.mkdtemp(prefix="s2tt_cusum_stage_")
+    live = tempfile.mkdtemp(prefix="s2tt_cusum_live_")
+    ckpt = tempfile.mkdtemp(prefix="s2tt_cusum_ckpt_")
+    sink = tempfile.mkdtemp(prefix="s2tt_cusum_sink_")
+    ranked = e.withColumn(
+        "chunk",
+        F.ntile(n_chunks).over(Window.orderBy("ts_us", "event_id")),
+    )
+    for c in range(1, n_chunks + 1):
+        path = os.path.join(stage, f"chunk_{c:02d}")
+        ranked.filter(F.col("chunk") == c).drop("chunk").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+        t = 1_700_000_000 + c
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(path, (t, t))
+
+    schema = spark.read.parquet(os.path.join(stage, "chunk_01")).schema
+
+    def _phase() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(live)
+            .join(F.broadcast(targets), "user_id")
+        )
+        q = (
+            cusum_stateful(stream, _CUSUM_K, _CUSUM_H)
+            .writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for c in range(1, split_at + 1):
+        shutil.move(os.path.join(stage, f"chunk_{c:02d}"), live)
+    _phase()  # phase A, then the query object is gone ("crash")
+    for c in range(split_at + 1, n_chunks + 1):
+        shutil.move(os.path.join(stage, f"chunk_{c:02d}"), live)
+    _phase()  # phase B: NEW query, same checkpoint -> state restored
+
+    upd = spark.read.parquet(sink)
+    wfin = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        upd.withColumn("rn", F.row_number().over(wfin))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -540,3 +540,20 @@ def test_dq_expectations_independent_recompute(spark):
     assert row["n_orphan_custkey"] == orphan
     for col in row.index:
         assert row[col] >= 0
+
+
+def test_cusum_stream_checkpoint_recovery(spark):
+    from sentinel2_crop_trait_timeseries_spark.streaming.cusum_stream import (
+        run_cusum_stream_once,
+        run_cusum_stream_resumable,
+    )
+
+    one_shot = sorted(
+        map(tuple, run_cusum_stream_once(spark, SF).collect())
+    )
+    resumed = sorted(
+        map(tuple, run_cusum_stream_resumable(spark, SF).collect())
+    )
+    # a stop + new-query restart from the checkpoint must land on the
+    # exact same per-user final state as the uninterrupted run
+    assert resumed == one_shot and len(one_shot) > 0
