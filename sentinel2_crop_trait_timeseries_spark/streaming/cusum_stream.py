@@ -237,10 +237,17 @@ def run_cusum_stream_resumable(
             .parquet(live)
             .join(F.broadcast(targets), "user_id")
         )
+        # batchId-keyed OVERWRITE is the canonical exactly-once
+        # foreachBatch sink: a retried micro-batch rewrites its own
+        # directory instead of appending a duplicate (batch ids are
+        # monotonic across checkpoint recoveries, so phases never
+        # collide)
         q = (
             cusum_stateful(stream, _CUSUM_K, _CUSUM_H)
             .writeStream.foreachBatch(
-                lambda b, _i: b.write.mode("append").parquet(sink)
+                lambda b, i: b.write.mode("overwrite").parquet(
+                    os.path.join(sink, f"batch={i}")
+                )
             )
             .option("checkpointLocation", ckpt)
             .outputMode("update")
@@ -256,7 +263,11 @@ def run_cusum_stream_resumable(
         shutil.move(os.path.join(stage, f"chunk_{c:02d}"), live)
     _phase()  # phase B: NEW query, same checkpoint -> state restored
 
-    upd = spark.read.parquet(sink)
+    upd = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(sink)
+    )
     wfin = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         upd.withColumn("rn", F.row_number().over(wfin))
