@@ -161,3 +161,28 @@ def test_sketch_plans(spark):
     # zorder is projection + one hash aggregate: no join at all
     z = _executed(spark, "zorder_cell_stats")
     assert "Join" not in z
+
+
+def test_late_r5_partition_invariance(spark):
+    """Every late-r5 batch query is exact-integer by construction, so
+    its collected output must be bit-identical under different shuffle
+    partitioning (the house invariance contract)."""
+    names = (
+        "heavy_hitters_cms",
+        "bloom_semijoin_prune",
+        "kmv_distinct_estimate",
+        "state_durations_user",
+        "cdc_merge_apply",
+        "dq_expectations_orders",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in names:
+            fn = QUERIES[name]["fn"]
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = sorted(map(tuple, fn(spark, SF).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = sorted(map(tuple, fn(spark, SF).collect()))
+            assert a == b, name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
