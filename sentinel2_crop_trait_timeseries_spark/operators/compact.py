@@ -45,6 +45,45 @@ def _parquet_files(path: str) -> list[str]:
     ]
 
 
+def drop_expired_partitions(
+    path: str,
+    keep: set[str] | list[str],
+    partition_col: str = "day",
+) -> dict:
+    """Retention expiry for a Hive-partitioned parquet directory — the
+    write-side twin of rollup.retention_serving (TimescaleDB
+    drop_chunks / Iceberg expire_snapshots + delete orphan files):
+    remove every `<partition_col>=<value>` subdirectory whose value is
+    NOT in `keep`, atomically per partition (rename to a trash sibling,
+    then delete — a failed delete leaves a resumable trash dir, never a
+    half-deleted live partition). Idempotent: partitions already gone
+    are not errors; the report says exactly what was dropped and kept.
+    The caller computes `keep` from its policy (e.g. the day values
+    inside the retention horizon) — policy stays in one place, the
+    storage action is mechanical.
+    """
+    prefix = f"{partition_col}="
+    live = sorted(
+        d for d in os.listdir(path)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(path, d))
+    )
+    keep_dirs = {f"{prefix}{v}" for v in keep}
+    dropped = []
+    for d in live:
+        if d in keep_dirs:
+            continue
+        full = os.path.join(path, d)
+        trash = full + "__expired"
+        os.rename(full, trash)
+        shutil.rmtree(trash)
+        dropped.append(d)
+    return {
+        "dropped": dropped,
+        "n_dropped": len(dropped),
+        "n_kept": len(live) - len(dropped),
+    }
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,

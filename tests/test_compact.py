@@ -45,3 +45,40 @@ def test_compact_single_file_floor(spark, tmp_path):
     assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == list(
         range(10)
     )
+
+
+def test_drop_expired_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sentinel2_crop_trait_timeseries_spark.operators.compact import (
+        drop_expired_partitions,
+    )
+
+    path = os.path.join(str(tmp_path), "tiered")
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.concat(
+            F.lit("2024-01-0"), ((F.col("id") % 5) + 1).cast("string")
+        ).alias("day"),
+    )
+    df.write.partitionBy("day").parquet(path)
+    keep = {"2024-01-04", "2024-01-05"}
+    rep = drop_expired_partitions(path, keep)
+    assert rep["n_dropped"] == 3 and rep["n_kept"] == 2
+    assert sorted(rep["dropped"]) == [
+        "day=2024-01-01", "day=2024-01-02", "day=2024-01-03"
+    ]
+    remaining = spark.read.parquet(path)
+    assert remaining.count() == 400
+    # Spark infers the partition column as DATE on read — compare as strings
+    assert {
+        r["d"]
+        for r in remaining.select(
+            F.col("day").cast("string").alias("d")
+        ).distinct().collect()
+    } == keep
+    # idempotent: a second run drops nothing
+    rep2 = drop_expired_partitions(path, keep)
+    assert rep2["n_dropped"] == 0 and rep2["n_kept"] == 2
+    # no trash leftovers
+    assert not any(d.endswith("__expired") for d in os.listdir(path))
