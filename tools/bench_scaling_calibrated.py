@@ -143,7 +143,7 @@ def run_once(cores: int) -> dict:
         "    u, n, s, _i, _io, irq, sirq, st = map(int, p[1:9])\n"
         "    return u + n + s + irq + sirq, st\n"
         f"spark = get_spark('s2tt_cal_{cores}', master='local[{cores}]',"
-        f" shuffle_partitions={cores})\n"
+        f" shuffle_partitions={cores * int(os.environ.get('SCALING_SHUFFLE_MULT', '1'))})\n"
         f"seq = spark.read.parquet({SEQ_PATH!r})\n"
         f"warm = seq.limit({cores * 4}).repartition({cores})\n"
         "_job(warm).write.format('noop')"
@@ -179,7 +179,11 @@ def main() -> None:
 
     gen = get_spark("s2tt_cal_gen", master=f"local[{high}]",
                     shuffle_partitions=high)
-    generate_sequences(gen, n_docs, partitions=high * 2).write.mode(
+    # SCALING_GEN_PARTS overrides input partitioning (default 2 task
+    # waves at the high level) — raising it tests the stage-tail
+    # granularity attribution: more waves should amortize the barrier
+    gen_parts = int(os.environ.get("SCALING_GEN_PARTS", str(high * 2)))
+    generate_sequences(gen, n_docs, partitions=gen_parts).write.mode(
         "overwrite"
     ).parquet(SEQ_PATH)
     seq = gen.read.parquet(SEQ_PATH)
