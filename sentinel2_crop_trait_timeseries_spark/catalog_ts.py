@@ -2357,3 +2357,73 @@ def dq_expectations_orders(spark, sf_dir):
         .cast("long")
         .alias("n_date_out_of_range"),
     )
+
+
+# =====================================================================
+# OHLC candlestick rollup (TimescaleDB candlestick_agg / kdb ohlc)
+# =====================================================================
+
+@_q(
+    "candlestick_daily",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, {_SQL_US} AS ts_us,
+             {_SQL_CENTS} AS cents
+      FROM events
+    )
+    SELECT event_type,
+           (ts_us // {_DAY_US}) * {_DAY_US} AS day_us,
+           first(cents ORDER BY ts_us, event_id) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           last(cents ORDER BY ts_us, event_id) AS close_cents,
+           cast(count(*) AS bigint) AS n_events,
+           cast(sum(cents) AS bigint) AS volume_cents
+    FROM e GROUP BY 1, 2
+    """,
+)
+def candlestick_daily(spark, sf_dir):
+    """Daily OHLC candlestick per event_type — the financial-rollup
+    shape of the tier cascade (TimescaleDB ``candlestick_agg``, kdb
+    ``ohlc``): open/close are the first/last observation of the day
+    bucket, high/low the extremes, plus count and exact-cents volume.
+
+    Open/close need an ORDER inside an unordered aggregation; doing it
+    with a window + row_number would sort every row. Instead the open
+    is ``min(struct(ts_us, event_id, cents))`` — Spark orders structs
+    lexicographically, so the minimum struct IS the first observation,
+    with ``event_id`` (unique BIGINT) as the deterministic tie-break on
+    equal timestamps — and the close is the ``max`` twin. Struct
+    min/max is an algebraic aggregate: it map-side-combines, so the
+    plan is ONE partial-agg shuffle carrying only (type, day) group
+    rows, no Window, no second Exchange. (Struct-valued buffers force
+    SortAggregate, so each partition sorts by the 2-column GROUP KEY —
+    run-length cheap — but never by per-row timestamp, and rows still
+    collapse to one struct per group before the wire; the window
+    alternative would shuffle every raw row and sort 4 columns wide.
+    At 100 TB that is the difference between a scan-shaped rollup and
+    a full re-sort of the fact table.)
+    All outputs are integer cents/counts: exact,
+    partition-order-independent, engine-independent. The DuckDB oracle
+    states the same thing declaratively via ordered aggregates
+    (``first(x ORDER BY ts, id)``).
+
+    Reference analog: per-day resampling collapses each day's hourly
+    reconstruction to one representative row
+    (src/04_reconstruct_s2_traits.py:396-405); open/close generalize
+    its window-endpoint selections (04_reconstruct_s2_traits.py:196).
+    """
+    e = _e(spark, sf_dir)
+    day_us = (F.col("ts_us") - (F.col("ts_us") % _DAY_US)).alias("day_us")
+    first_s = F.struct("ts_us", "event_id", "cents")
+    return (
+        e.groupBy("event_type", day_us)
+        .agg(
+            F.min(first_s).getField("cents").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(first_s).getField("cents").alias("close_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("volume_cents"),
+        )
+    )

@@ -557,3 +557,55 @@ def test_cusum_stream_checkpoint_recovery(spark):
     # a stop + new-query restart from the checkpoint must land on the
     # exact same per-user final state as the uninterrupted run
     assert resumed == one_shot and len(one_shot) > 0
+
+
+def test_candlestick_daily_matches_pandas_ohlc(spark, events):
+    got = _run(spark, "candlestick_daily")
+    day_us = 86_400_000_000
+    e = events.assign(day_us=lambda d: d.ts_us - d.ts_us % day_us).sort_values(
+        ["ts_us", "event_id"], kind="stable"
+    )
+    exp = e.groupby(["event_type", "day_us"]).agg(
+        open_cents=("cents", "first"),
+        high_cents=("cents", "max"),
+        low_cents=("cents", "min"),
+        close_cents=("cents", "last"),
+        n_events=("cents", "size"),
+        volume_cents=("cents", "sum"),
+    )
+    assert len(got) == len(exp)
+    for r in got.itertuples(index=False):
+        x = exp.loc[(r.event_type, r.day_us)]
+        assert (
+            r.open_cents == x.open_cents
+            and r.high_cents == x.high_cents
+            and r.low_cents == x.low_cents
+            and r.close_cents == x.close_cents
+            and r.n_events == x.n_events
+            and r.volume_cents == x.volume_cents
+        ), (r.event_type, r.day_us)
+    # OHLC internal consistency
+    assert (got.low_cents <= got.open_cents).all()
+    assert (got.low_cents <= got.close_cents).all()
+    assert (got.high_cents >= got.open_cents).all()
+    assert (got.high_cents >= got.close_cents).all()
+
+
+def test_candlestick_daily_plan_and_invariance(spark):
+    fn = QUERIES["candlestick_daily"]["fn"]
+    plan = (
+        fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one partial-agg shuffle of group rows; no Window, no raw-row sort
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine is present
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, fn(spark, SF).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, fn(spark, SF).collect()))
+        assert a == b and len(a) > 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
