@@ -139,6 +139,7 @@ HEADLINE = [
     "streaming_interval_join",
     "cdc_merge_apply",
     "dq_expectations_orders",
+    "candlestick_daily",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

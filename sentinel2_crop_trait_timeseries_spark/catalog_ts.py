@@ -2427,3 +2427,244 @@ def candlestick_daily(spark, sf_dir):
             F.sum("cents").cast("long").alias("volume_cents"),
         )
     )
+
+
+# =====================================================================
+# Grouped linear regression (TimescaleDB stats_agg / SQL regr_*)
+# =====================================================================
+
+# fixture events all fall in Jan 2024; a fixed origin below min(ts)
+# keeps the hour axis small and non-negative (int `div` == `//` only
+# for non-negative numerators — house rule, catalog_ts.py header)
+_REGR_ORIGIN_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+@_q(
+    "regr_stats_user",
+    f"""
+    WITH e AS (
+      SELECT user_id, (({_SQL_US} - {_REGR_ORIGIN_US}) // 3600000000)
+               AS x, {_SQL_CENTS} AS y
+      FROM events
+    ), m AS (
+      SELECT user_id, cast(count(*) AS bigint) AS n,
+             cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+             cast(sum(x * x) AS bigint) AS sxx,
+             cast(sum(x * y) AS bigint) AS sxy,
+             cast(sum(y * y) AS bigint) AS syy
+      FROM e GROUP BY 1
+    ), d AS (
+      SELECT user_id, n,
+             n * sxy - sx * sy AS sxy_num,
+             n * sxx - sx * sx AS sxx_num,
+             n * syy - sy * sy AS syy_num,
+             sx, sy
+      FROM m WHERE n >= 3
+    )
+    SELECT user_id, n, sxx_num, sxy_num, syy_num,
+           sxy_num / nullif(sxx_num, 0) AS slope_cents_per_hr,
+           (cast(sy AS double)
+              - (sxy_num / nullif(sxx_num, 0)) * cast(sx AS double))
+             / cast(n AS double) AS intercept_cents,
+           (cast(sxy_num AS double) * cast(sxy_num AS double))
+             / nullif(cast(sxx_num AS double) * cast(syy_num AS double),
+                      0.0) AS r2
+    FROM d
+    """,
+)
+def regr_stats_user(spark, sf_dir):
+    """Per-user ordinary-least-squares line of value (cents) over time
+    (hours) — the TimescaleDB ``stats_agg`` / ANSI ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` family as ONE algebraic aggregate.
+
+    All five moments (Σx, Σy, Σx², Σxy, Σy²) are exact BIGINT sums —
+    x is whole hours since a fixed pre-fixture origin, y is exact
+    cents — so the slope/intercept/R² numerators (n·Σxy − Σx·Σy etc.)
+    are exact integers: partition-order- and engine-independent by
+    construction, with the floating point confined to the final one or
+    two IEEE divisions on identical operands (house rule). The plan is
+    one partial-agg shuffle: moments combine map-side, so at 100 TB
+    this runs at scan speed — the reason every streaming/OLAP engine
+    ships regression as sufficient statistics rather than a solver.
+    Degenerate users (single distinct hour → sxx_num = 0) surface NULL
+    slope via nullif rather than a division error.
+
+    Reference analog: the dose-response calibration reduces each
+    series to sufficient statistics before the global fit
+    (operators/calibrate.py::sufficient_stats); the R scripts fit
+    linear baselines per parcel (src/baseline/01_run_baseline_model.py
+    linear interpolation baseline)."""
+    e = _e(spark, sf_dir).select(
+        "user_id",
+        F.expr(
+            f"(ts_us - {_REGR_ORIGIN_US}L) div 3600000000L"
+        ).alias("x"),
+        F.col("cents").alias("y"),
+    )
+    m = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = m.filter(F.col("n") >= 3).select(
+        "user_id",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "sxy_num"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "sxx_num"
+        ),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "syy_num"
+        ),
+        "sx",
+        "sy",
+    )
+    return d.select(
+        "user_id",
+        "n",
+        "sxx_num",
+        "sxy_num",
+        "syy_num",
+        F.expr("sxy_num / nullif(sxx_num, 0)").alias("slope_cents_per_hr"),
+        F.expr(
+            "(cast(sy as double)"
+            " - (sxy_num / nullif(sxx_num, 0)) * cast(sx as double))"
+            " / cast(n as double)"
+        ).alias("intercept_cents"),
+        F.expr(
+            "(cast(sxy_num as double) * cast(sxy_num as double))"
+            " / nullif(cast(sxx_num as double) * cast(syy_num as double),"
+            " 0.0d)"
+        ).alias("r2"),
+    )
+
+
+# =====================================================================
+# Calendar-aware monthly rollup (TimescaleDB time_bucket_ng '1 month')
+# =====================================================================
+
+@_q(
+    "rollup_monthly_calendar",
+    """
+    SELECT o_orderstatus,
+           cast(year(o_orderdate) * 100 + month(o_orderdate) AS bigint)
+             AS ym,
+           cast(day(last_day(make_date(year(o_orderdate),
+                                       month(o_orderdate), 1)))
+                AS int) AS days_in_month,
+           cast(count(*) AS bigint) AS n_orders,
+           cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+             AS sum_cents,
+           min(cast(round(o_totalprice * 100) AS bigint)) AS min_cents,
+           max(cast(round(o_totalprice * 100) AS bigint)) AS max_cents
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def rollup_monthly_calendar(spark, sf_dir):
+    """Calendar-month rollup of orders — the VARIABLE-WIDTH bucket the
+    fixed-width tier cascade cannot express (TimescaleDB
+    ``time_bucket_ng('1 month')``, Spark ``date_trunc('month')``):
+    months are 28-31 days, so epoch arithmetic is wrong by design and
+    the bucket key must come from the calendar. The key is surfaced as
+    integer ``yyyymm`` (engine-independent, no timestamp canonicalture
+    hazards) and each group carries ``days_in_month`` — the varying
+    width made visible — plus exact-cents digests. One partial-agg
+    shuffle over ~84 (status, month) groups; at 100 TB this is the
+    month-tier of the retention cascade, re-aggregated from the daily
+    tier exactly like rollup.cascade does (month = whole days, so
+    re-aggregation from daily partials is lossless).
+
+    Reference analog: daily resampling of hourly reconstructions
+    (src/04_reconstruct_s2_traits.py:396-405) — same downsample, but
+    its buckets are fixed-width; the calendar tier is what the
+    engine's month-grain retention policy needs."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    y, mo = F.year("o_orderdate"), F.month("o_orderdate")
+    return (
+        o.groupBy(
+            "o_orderstatus",
+            (y * 100 + mo).cast("long").alias("ym"),
+            F.dayofmonth(F.last_day(F.make_date(y, mo, F.lit(1))))
+            .cast("int")
+            .alias("days_in_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+    )
+
+
+# =====================================================================
+# Heartbeat liveness (TimescaleDB heartbeat_agg)
+# =====================================================================
+
+_HB_TOL_US = 12 * 3_600_000_000  # a beat keeps the user live for 12 h
+
+
+@_q(
+    "heartbeat_liveness_user",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, {_SQL_US} AS ts_us FROM events
+    ), w AS (
+      SELECT user_id, ts_us,
+             lead(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS nxt
+      FROM e
+    )
+    SELECT user_id, cast(count(*) AS bigint) AS n_beats,
+           cast(sum(CASE WHEN nxt IS NULL THEN {_HB_TOL_US}
+                         WHEN nxt - ts_us < {_HB_TOL_US} THEN nxt - ts_us
+                         ELSE {_HB_TOL_US} END) AS bigint) AS live_us,
+           cast(1 + sum(CASE WHEN nxt - ts_us > {_HB_TOL_US} THEN 1
+                             ELSE 0 END) AS bigint) AS n_live_ranges
+    FROM w GROUP BY 1
+    """,
+)
+def heartbeat_liveness_user(spark, sf_dir):
+    """TimescaleDB ``heartbeat_agg``: each event keeps its user "live"
+    for a 12 h tolerance; liveness is the measure of the UNION of the
+    per-beat intervals — Σ min(gap, tol) over consecutive beats plus
+    one trailing tolerance — and ``n_live_ranges`` counts the maximal
+    live stretches (gap > tol starts a new one). The union-of-intervals
+    measure is what gaps_islands_user's island framing cannot give
+    directly: overlapping coverage must saturate at the gap, not
+    double-count. All arithmetic is BIGINT µs — exact, engine-
+    independent. One shuffle: the lead() window and the groupBy share
+    the user_id partitioning, so the window sort feeds the aggregate
+    without a second Exchange (plan-asserted in tests).
+
+    Reference analog: the reference treats a parcel's sensing as alive
+    between acquisitions closer than the cloud-gap threshold and
+    restarts interpolation across longer gaps
+    (src/04_reconstruct_s2_traits.py:162-204)."""
+    e = _e(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tol = F.lit(_HB_TOL_US)
+    x = e.withColumn("nxt", F.lead("ts_us").over(w))
+    gap = F.col("nxt") - F.col("ts_us")
+    return x.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_beats"),
+        F.sum(
+            F.when(F.col("nxt").isNull(), tol)
+            .when(gap < tol, gap)
+            .otherwise(tol)
+        )
+        .cast("long")
+        .alias("live_us"),
+        (
+            F.lit(1)
+            + F.sum(F.when(gap > tol, F.lit(1)).otherwise(F.lit(0)))
+        )
+        .cast("long")
+        .alias("n_live_ranges"),
+    )

@@ -609,3 +609,104 @@ def test_candlestick_daily_plan_and_invariance(spark):
         assert a == b and len(a) > 0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_regr_stats_matches_numpy_polyfit(spark, events):
+    import numpy as np
+
+    got = _run(spark, "regr_stats_user").set_index("user_id")
+    origin = 1_704_067_200_000_000
+    e = events.assign(x=lambda d: (d.ts_us - origin) // 3_600_000_000)
+    checked = 0
+    for uid, g in e.groupby("user_id"):
+        if len(g) < 3:
+            assert uid not in got.index
+            continue
+        r = got.loc[uid]
+        assert r.n == len(g)
+        x, y = g.x.to_numpy(float), g.cents.to_numpy(float)
+        if len(set(g.x)) > 1:
+            slope, intercept = np.polyfit(x, y, 1)
+            assert abs(r.slope_cents_per_hr - slope) < 1e-6 * max(
+                1.0, abs(slope)
+            )
+            assert abs(r.intercept_cents - intercept) < 1e-6 * max(
+                1.0, abs(intercept)
+            )
+            cc = np.corrcoef(x, y)[0, 1] ** 2
+            assert abs(r.r2 - cc) < 1e-9
+            assert -1e-12 <= r.r2 <= 1 + 1e-12
+        else:
+            assert pd.isna(r.slope_cents_per_hr)
+        checked += 1
+    assert checked == len(got)
+
+
+def test_rollup_monthly_calendar_widths_and_sums(spark):
+    got = _run(spark, "rollup_monthly_calendar")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o = o.assign(
+        ym=o.o_orderdate.dt.year * 100 + o.o_orderdate.dt.month,
+        cents=(o.o_totalprice * 100).round().astype("int64"),
+    )
+    exp = o.groupby(["o_orderstatus", "ym"]).agg(
+        n_orders=("cents", "size"), sum_cents=("cents", "sum")
+    )
+    assert len(got) == len(exp)
+    import calendar
+
+    for r in got.itertuples(index=False):
+        x = exp.loc[(r.o_orderstatus, r.ym)]
+        assert r.n_orders == x.n_orders and r.sum_cents == x.sum_cents
+        # the calendar-aware width: 28/29/30/31 per the actual month
+        assert r.days_in_month == calendar.monthrange(
+            r.ym // 100, r.ym % 100
+        )[1]
+    assert got.days_in_month.nunique() >= 3  # variable width exercised
+
+
+def test_heartbeat_liveness_union_of_intervals(spark, events):
+    tol = 12 * 3_600_000_000
+    got = _run(spark, "heartbeat_liveness_user").set_index("user_id")
+    for uid, g in events.groupby("user_id"):
+        ts = sorted(g.ts_us)
+        # brute-force union measure of [t, t+tol) intervals
+        live, ranges, end = 0, 0, None
+        for t in ts:
+            if end is None or t > end:
+                ranges += 1
+                live += tol
+                end = t + tol
+            else:
+                live += t + tol - end
+                end = t + tol
+        r = got.loc[uid]
+        assert r.n_beats == len(ts)
+        assert r.live_us == live, uid
+        assert r.n_live_ranges == ranges, uid
+    assert len(got) == events.user_id.nunique()
+
+
+def test_new_r5_tail_plans_and_invariance(spark):
+    specs = {
+        "regr_stats_user": dict(windows=0),
+        "rollup_monthly_calendar": dict(windows=0),
+        "heartbeat_liveness_user": dict(windows=1),
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name, spec in specs.items():
+            fn = QUERIES[name]["fn"]
+            plan = (
+                fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            )
+            assert plan.count("Exchange") == 1, name
+            assert plan.count("Window") == spec["windows"], name
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = sorted(map(str, fn(spark, SF).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = sorted(map(str, fn(spark, SF).collect()))
+            # exact-by-construction: bit-identical incl. float endpoints
+            assert a == b and len(a) > 0, name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
