@@ -140,6 +140,10 @@ HEADLINE = [
     "cdc_merge_apply",
     "dq_expectations_orders",
     "candlestick_daily",
+    "candlestick_weekly_rollup",
+    "regr_stats_user",
+    "rollup_monthly_calendar",
+    "heartbeat_liveness_user",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -2668,3 +2668,63 @@ def heartbeat_liveness_user(spark, sf_dir):
         .cast("long")
         .alias("n_live_ranges"),
     )
+
+
+@_q(
+    "candlestick_weekly_rollup",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, {_SQL_US} AS ts_us,
+             {_SQL_CENTS} AS cents
+      FROM events
+    )
+    SELECT event_type,
+           ((ts_us // {_DAY_US} + 3) // 7 * 7 - 3) * {_DAY_US} AS week_us,
+           first(cents ORDER BY ts_us, event_id) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           last(cents ORDER BY ts_us, event_id) AS close_cents,
+           cast(count(*) AS bigint) AS n_events,
+           cast(sum(cents) AS bigint) AS volume_cents
+    FROM e GROUP BY 1, 2
+    """,
+)
+def candlestick_weekly_rollup(spark, sf_dir):
+    """Weekly OHLC re-aggregated FROM the daily candle partials — the
+    TimescaleDB ``rollup(candlestick_agg)`` continuous-aggregate
+    algebra: a coarser candle is a pure function of finer candles
+    (week open = open of the week's first day, close = close of its
+    last day, high/low/count/volume = max/min/sums), so the weekly
+    tier reads the materialized daily tier and never touches raw rows
+    — exactly how operators/rollup.py::cascade builds its week tier.
+    Candles are mergeable because day buckets PARTITION each Monday-
+    aligned week: the earliest event of the earliest day IS the
+    earliest event of the week, so ``min(struct(day_us, open_cents))``
+    needs no tie-break. The ORACLE deliberately computes the weekly
+    candles straight from raw events — hash equality proves the
+    partial-aggregation algebra lossless, not just plausible (and
+    tests/test_catalog_ts.py re-proves it in-engine against a direct
+    raw→weekly Spark plan). At 100 TB the daily input is ~1/10^4 of
+    the raw table; the re-aggregation is a metadata-scale job.
+
+    Reference analog: weekly tier re-aggregated from daily
+    (operators/rollup.py cascade, SURVEY §2.4 #34); Monday alignment
+    matches catalog._week_bucket."""
+    daily = candlestick_daily(spark, sf_dir)
+    week_us = (
+        (F.expr(f"(day_us div {_DAY_US} + 3) div 7") * 7 - 3)
+        * F.lit(_DAY_US)
+    ).alias("week_us")
+    open_s = F.struct("day_us", "open_cents")
+    close_s = F.struct("day_us", "close_cents")
+    return (
+        daily.groupBy("event_type", week_us)
+        .agg(
+            F.min(open_s).getField("open_cents").alias("open_cents"),
+            F.max("high_cents").alias("high_cents"),
+            F.min("low_cents").alias("low_cents"),
+            F.max(close_s).getField("close_cents").alias("close_cents"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("volume_cents").cast("long").alias("volume_cents"),
+        )
+    )

@@ -710,3 +710,29 @@ def test_new_r5_tail_plans_and_invariance(spark):
             assert a == b and len(a) > 0, name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_candlestick_weekly_algebra_matches_raw(spark, events):
+    """The cagg algebra proof in-engine: weekly-from-daily-partials
+    must equal weekly-computed-straight-from-raw."""
+    from_daily = sorted(
+        map(tuple, QUERIES["candlestick_weekly_rollup"]["fn"](spark, SF).collect())
+    )
+    day_us = 86_400_000_000
+    e = events.assign(
+        week_us=lambda d: ((d.ts_us // day_us + 3) // 7 * 7 - 3) * day_us
+    ).sort_values(["ts_us", "event_id"], kind="stable")
+    exp = (
+        e.groupby(["event_type", "week_us"])
+        .agg(
+            open_cents=("cents", "first"),
+            high_cents=("cents", "max"),
+            low_cents=("cents", "min"),
+            close_cents=("cents", "last"),
+            n_events=("cents", "size"),
+            volume_cents=("cents", "sum"),
+        )
+        .reset_index()
+    )
+    raw = sorted(map(tuple, exp.itertuples(index=False)))
+    assert from_daily == raw and len(raw) > 0
