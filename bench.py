@@ -144,6 +144,8 @@ HEADLINE = [
     "regr_stats_user",
     "rollup_monthly_calendar",
     "heartbeat_liveness_user",
+    "histogram_quantile_type",
+    "column_profile_orders",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -2728,3 +2728,229 @@ def candlestick_weekly_rollup(spark, sf_dir):
             F.sum("volume_cents").cast("long").alias("volume_cents"),
         )
     )
+
+
+# =====================================================================
+# Bucketed histogram quantile (Prometheus histogram_quantile)
+# =====================================================================
+
+# le-style cent bucket edges; last edge exceeds the fixture max (56021)
+# so every observation lands in a finite bucket
+_HQ_EDGES = [500, 1000, 2000, 4000, 8000, 16000, 32000, 64000]
+_HQ_QS = [50, 90, 99]
+
+
+def _hq_bucket_case(cents_expr: str) -> str:
+    """Dialect-neutral CASE chain mapping cents -> bucket index."""
+    whens = " ".join(
+        f"WHEN {cents_expr} <= {e} THEN {i}"
+        for i, e in enumerate(_HQ_EDGES)
+    )
+    return f"CASE {whens} END"
+
+
+def _hq_edge_case(which: str) -> str:
+    """lo/hi edge per bucket index as a CASE chain on column b."""
+    lows = [0] + _HQ_EDGES[:-1]
+    src = lows if which == "lo" else _HQ_EDGES
+    whens = " ".join(f"WHEN b = {i} THEN {v}" for i, v in enumerate(src))
+    return f"CASE {whens} END"
+
+
+# one formula string, used verbatim by BOTH engines: every operand is
+# an exact integer cast to double, every op is a single IEEE op in a
+# fixed order => bit-identical estimates across engines/partitionings
+_HQ_EST = (
+    "cast(lo AS double) + (cast(q_pct AS double) / 100.0"
+    " * cast(total AS double) - cast(cum - cnt AS double))"
+    " / cast(cnt AS double) * cast(hi - lo AS double)"
+)
+
+
+@_q(
+    "histogram_quantile_type",
+    f"""
+    WITH e AS (
+      SELECT event_type, {_hq_bucket_case(_SQL_CENTS)} AS b FROM events
+    ), c AS (
+      SELECT event_type, b, cast(count(*) AS bigint) AS cnt
+      FROM e GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, b, cnt,
+             cast(sum(cnt) OVER (PARTITION BY event_type ORDER BY b)
+                  AS bigint) AS cum,
+             cast(sum(cnt) OVER (PARTITION BY event_type) AS bigint)
+               AS total,
+             {_hq_edge_case('lo')} AS lo, {_hq_edge_case('hi')} AS hi
+      FROM c
+    ), q AS (SELECT unnest({_HQ_QS}) AS q_pct)
+    SELECT event_type, cast(q_pct AS bigint) AS q_pct,
+           cast(b AS bigint) AS bucket, {_HQ_EST} AS est_cents
+    FROM w, q
+    WHERE cast(cum - cnt AS double)
+            < cast(q_pct AS double) / 100.0 * cast(total AS double)
+      AND cast(q_pct AS double) / 100.0 * cast(total AS double)
+            <= cast(cum AS double)
+    """,
+)
+def histogram_quantile_type(spark, sf_dir):
+    """Prometheus ``histogram_quantile``: p50/p90/p99 per event_type
+    estimated from FIXED cumulative ("le") cent buckets with linear
+    interpolation inside the target bucket — the monitoring-native
+    quantile that needs only 8 counters per series, mergeable across
+    time and across hosts (unlike the exact percentile in
+    continuous_agg_daily, and cheaper than the t-digest family in
+    approx_sketch_bounds). The plan: CASE-chain bucket index (JVM
+    codegen, no UDF), ONE partial-agg shuffle to (type, bucket)
+    counts — ~8 rows per type — then cumulative/total windows and the
+    quantile pick run on that metadata-scale frame; a 3-row quantile
+    spine cross-joins in (broadcast, tiny). At 100 TB only the bucket
+    counting touches the fact table, at scan speed. Bucket counts,
+    cums and totals are exact BIGINTs; the estimate is the shared
+    `_HQ_EST` formula — identical operand order in both engines, so
+    even the float interpolation hashes identically. First-crossing
+    predicate (cum_prev < target <= cum) picks exactly one bucket per
+    (type, q); empty buckets (cum_prev == cum) can never qualify.
+
+    Reference analog: the q05/q95 uncertainty bands carried alongside
+    every reconstructed trait (src/04_reconstruct_s2_traits.py:346-354)
+    — the engine's serving-side quantile over pre-binned rollups."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(_hq_bucket_case(_CENTS)).alias("b"),
+    )
+    c = e.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("b")
+    wtot = Window.partitionBy("event_type")
+    w = c.select(
+        "event_type",
+        "b",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        F.sum("cnt").over(wtot).cast("long").alias("total"),
+        F.expr(_hq_edge_case("lo")).alias("lo"),
+        F.expr(_hq_edge_case("hi")).alias("hi"),
+    )
+    q = spark.range(len(_HQ_QS)).select(
+        F.expr(
+            "CASE "
+            + " ".join(
+                f"WHEN id = {i} THEN {v}" for i, v in enumerate(_HQ_QS)
+            )
+            + " END"
+        ).alias("q_pct")
+    )
+    tgt = "cast(q_pct AS double) / 100.0 * cast(total AS double)"
+    return (
+        w.crossJoin(F.broadcast(q))
+        .filter(F.expr(f"cast(cum - cnt AS double) < {tgt}"))
+        .filter(F.expr(f"{tgt} <= cast(cum AS double)"))
+        .select(
+            "event_type",
+            F.col("q_pct").cast("long").alias("q_pct"),
+            F.col("b").cast("long").alias("bucket"),
+            F.expr(_HQ_EST).alias("est_cents"),
+        )
+    )
+
+
+# =====================================================================
+# Column profiling in one scan (ANALYZE TABLE / Deequ / dbt docs)
+# =====================================================================
+
+# (column, kind) — kind drives how min/max are surfaced numerically:
+# ints/doubles as double (exact), timestamps as epoch µs double
+# (exact: |µs| < 2^53), strings as NULL (no cross-engine collation bet)
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_minmax_sql(col: str, kind: str, agg: str) -> str:
+    if kind == "num":
+        return f"cast({agg}({col}) AS double)"
+    if kind == "ts":
+        return f"cast(epoch_us({agg}({col})) AS double)"
+    return "cast(NULL AS double)"
+
+
+@_q(
+    "column_profile_orders",
+    """
+    WITH m AS MATERIALIZED (
+      SELECT cast(count(*) AS bigint) AS n_rows,
+"""
+    + ",\n".join(
+        f"        cast(count({c}) AS bigint) AS nn_{c},\n"
+        f"        cast(count(DISTINCT {c}) AS bigint) AS ndv_{c},\n"
+        f"        {_profile_minmax_sql(c, k, 'min')} AS mn_{c},\n"
+        f"        {_profile_minmax_sql(c, k, 'max')} AS mx_{c}"
+        for c, k in _PROFILE_COLS
+    )
+    + """
+      FROM orders
+    )
+"""
+    + "\n    UNION ALL\n".join(
+        f"    SELECT '{c}' AS column_name, n_rows,"
+        f" n_rows - nn_{c} AS n_null, ndv_{c} AS ndv,"
+        f" mn_{c} AS min_num, mx_{c} AS max_num FROM m"
+        for c, _ in _PROFILE_COLS
+    ),
+)
+def column_profile_orders(spark, sf_dir):
+    """ANALYZE-TABLE / Deequ-style column profile of orders in ONE
+    scan: per column the row count, null count, EXACT distinct count,
+    and numeric min/max (timestamps as epoch µs, strings skipped — no
+    cross-engine collation bet). One wide aggregate computes all 9×4
+    metrics over the fixture's 6 columns (Spark expands multi-DISTINCT into one Expand + two-stage
+    agg — the honest exact shape; the HLL alternative for 100 TB is
+    already covered by approx_sketch_bounds/kmv_distinct_estimate),
+    then a ``stack`` pivots the single row to long form —
+    driver-side-free, no re-scan per column (the DuckDB oracle
+    MATERIALIZES its CTE for the same reason, house rule). This is the
+    stats half of table maintenance next to compact.py: what the
+    optimizer's CBO and a data catalog both ingest.
+
+    Reference analog: the per-campaign metadata audit — pixel counts
+    and failed-pixel inventories written next to every output
+    (src/baseline/01_run_baseline_model.py:343-357)."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c, k in _PROFILE_COLS:
+        aggs.append(F.count(c).cast("long").alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"ndv_{c}"))
+        if k == "num":
+            aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+        elif k == "ts":
+            aggs.append(
+                F.expr(f"cast(unix_micros(cast(min({c}) as timestamp))"
+                       " as double)").alias(f"mn_{c}")
+            )
+            aggs.append(
+                F.expr(f"cast(unix_micros(cast(max({c}) as timestamp))"
+                       " as double)").alias(f"mx_{c}")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"mx_{c}"))
+    m = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, ndv_{c}, mn_{c}, mx_{c}"
+        for c, _ in _PROFILE_COLS
+    )
+    return m.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, n_null, ndv, min_num, max_num)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_null", "ndv", "min_num", "max_num")

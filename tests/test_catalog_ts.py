@@ -736,3 +736,77 @@ def test_candlestick_weekly_algebra_matches_raw(spark, events):
     )
     raw = sorted(map(tuple, exp.itertuples(index=False)))
     assert from_daily == raw and len(raw) > 0
+
+
+def test_histogram_quantile_prometheus_semantics(spark, events):
+    import numpy as np
+    from sentinel2_crop_trait_timeseries_spark.catalog_ts import (
+        _HQ_EDGES,
+        _HQ_QS,
+    )
+
+    got = _run(spark, "histogram_quantile_type")
+    lows = [0] + _HQ_EDGES[:-1]
+    for etype, g in events.groupby("event_type"):
+        cents = np.sort(g.cents.to_numpy())
+        n = len(cents)
+        sub = got[got.event_type == etype].set_index("q_pct")
+        assert len(sub) == len(_HQ_QS)
+        prev_est = -1.0
+        for qp in _HQ_QS:
+            r = sub.loc[qp]
+            b = int(r.bucket)
+            # chosen bucket = first whose cumulative count reaches q*n
+            cum = np.array(
+                [int((cents <= e).sum()) for e in _HQ_EDGES], dtype=float
+            )
+            target = qp / 100.0 * n
+            expect_b = int(np.argmax(cum >= target))
+            # ties on exact boundary: both engines use cum_prev<t<=cum
+            assert b == expect_b, (etype, qp, b, expect_b)
+            assert lows[b] <= r.est_cents <= _HQ_EDGES[b]
+            assert r.est_cents >= prev_est  # quantile monotonicity
+            prev_est = r.est_cents
+    assert got.groupby("event_type").size().eq(len(_HQ_QS)).all()
+
+
+def test_column_profile_matches_pandas(spark):
+    got = _run(spark, "column_profile_orders").set_index("column_name")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    assert len(got) == 6
+    for col in got.index:
+        r = got.loc[col]
+        s = o[col]
+        assert r.n_rows == len(o)
+        assert r.n_null == int(s.isna().sum())
+        assert r.ndv == s.nunique()
+        if col == "o_orderdate":
+            assert r.min_num == s.min().value // 1000
+            assert r.max_num == s.max().value // 1000
+        elif pd.api.types.is_numeric_dtype(s):
+            assert r.min_num == float(s.min())
+            assert r.max_num == float(s.max())
+        else:
+            assert pd.isna(r.min_num) and pd.isna(r.max_num)
+    # single scan of orders: the stack pivots one aggregated row
+    plan = (
+        QUERIES["column_profile_orders"]["fn"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1
+
+
+def test_histogram_quantile_partition_invariance(spark):
+    fn = QUERIES["histogram_quantile_type"]["fn"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(str, fn(spark, SF).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(str, fn(spark, SF).collect()))
+        # shared _HQ_EST formula: floats bit-identical, not just close
+        assert a == b and len(a) > 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
