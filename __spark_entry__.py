@@ -199,6 +199,16 @@ _TAIL = [
     "streaming_interval_join",
     "cdc_merge_apply",
     "dq_expectations_orders",
+    # late-r5 corpus-health batch (catalog_corpus.py, post-window): PSI
+    # snapshot drift, Zipf slope, n-gram novelty, hapax/TTR diversity —
+    # 3-SF oracle-verified locally + CI tail-checked; rotate into r6's
+    # _HEAD with the blocks above
+    "psi_token_drift",
+    "zipf_slope_source",
+    "ngram_novelty_score",
+    "hapax_lexical_diversity",
+    "irate_last_two",
+    "interarrival_log2_histogram",
 ]
 
 assert len(_HEAD) == _WINDOW, (

@@ -1697,3 +1697,4 @@ from sentinel2_crop_trait_timeseries_spark import catalog_docs  # noqa: E402,F40
 from sentinel2_crop_trait_timeseries_spark import catalog_engine  # noqa: E402,F401
 from sentinel2_crop_trait_timeseries_spark import catalog_ts  # noqa: E402,F401
 from sentinel2_crop_trait_timeseries_spark import catalog_sketch  # noqa: E402,F401
+from sentinel2_crop_trait_timeseries_spark import catalog_corpus  # noqa: E402,F401

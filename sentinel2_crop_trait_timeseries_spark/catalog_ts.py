@@ -2954,3 +2954,170 @@ def column_profile_orders(spark, sf_dir):
         ),
         "n_rows",
     ).select("column_name", "n_rows", "n_null", "ndv", "min_num", "max_num")
+
+
+# =====================================================================
+# Instant rate over the last two samples (Prometheus irate)
+# =====================================================================
+
+@_q(
+    "irate_last_two",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, {_SQL_US} AS ts_us, {_SQL_CENTS} AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT *, cast(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+             ) AS bigint) AS rn
+      FROM e
+    ),
+    p AS (
+      SELECT user_id,
+             max(CASE WHEN rn = 1 THEN ts_us END) AS ts2_us,
+             max(CASE WHEN rn = 2 THEN ts_us END) AS ts1_us,
+             max(CASE WHEN rn = 1 THEN cents END) AS c2,
+             max(CASE WHEN rn = 2 THEN cents END) AS c1
+      FROM r WHERE rn <= 2 GROUP BY 1
+      HAVING count(*) = 2 AND max(CASE WHEN rn = 1 THEN ts_us END)
+               > max(CASE WHEN rn = 2 THEN ts_us END)
+    )
+    SELECT user_id, ts2_us AS last_ts_us,
+           ts2_us - ts1_us AS d_us,
+           CASE WHEN c2 >= c1 THEN c2 - c1 ELSE c2 END AS d_cents,
+           round(1e-9 + (CASE WHEN c2 >= c1 THEN c2 - c1 ELSE c2 END)
+                   * 3600000000.0 / (ts2_us - ts1_us) / 100.0, 6)
+             AS irate_per_hr
+    FROM p
+    """,
+)
+def irate_last_two(spark, sf_dir):
+    """Prometheus ``irate()``: the instantaneous rate of a per-user
+    counter from its LAST TWO samples only — the liveness-dashboard
+    twin of counter_rate_daily (which extrapolates over full buckets).
+    Counter-reset semantics match Prometheus: if the newer sample is
+    below the older one the counter restarted, so the increase is the
+    newer value itself. Series with < 2 samples, or whose last two
+    samples share a timestamp (rate undefined), are dropped.
+
+    Determinism: the "last two" are picked by (ts_us DESC, event_id
+    DESC) — unique BIGINT tie-break; d_us / d_cents are exact integer
+    differences; the surfaced per-hour rate is one double expression
+    over exact integers with the standard nudge-round.
+
+    Scale shape: one keyed window (partition by user, sort bounded by
+    a user's own history) feeding a partial-agg groupBy of <= 2 rows
+    per key — the same single-exchange shape Prometheus itself uses
+    per series chunk. No global sort, no join. Reference analog: the
+    last-two-anchor slope that extends a parcel's reconstruction past
+    its final assimilated scene (src/04_reconstruct_s2_traits.py:162's
+    terminal segment)."""
+    e = _e(spark, sf_dir)
+    win = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "user_id",
+        "ts_us",
+        "cents",
+        F.row_number().over(win).cast("long").alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    p = (
+        r.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("ts_us"))).alias("ts2_us"),
+            F.max(F.when(F.col("rn") == 2, F.col("ts_us"))).alias("ts1_us"),
+            F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("c2"),
+            F.max(F.when(F.col("rn") == 2, F.col("cents"))).alias("c1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter((F.col("n") == 2) & (F.col("ts2_us") > F.col("ts1_us")))
+    )
+    d_cents = F.when(
+        F.col("c2") >= F.col("c1"), F.col("c2") - F.col("c1")
+    ).otherwise(F.col("c2"))
+    return p.select(
+        "user_id",
+        F.col("ts2_us").alias("last_ts_us"),
+        (F.col("ts2_us") - F.col("ts1_us")).alias("d_us"),
+        d_cents.alias("d_cents"),
+        F.round(
+            F.lit(1e-9)
+            + d_cents * F.lit(3600000000.0)
+            / (F.col("ts2_us") - F.col("ts1_us"))
+            / F.lit(100.0),
+            6,
+        ).alias("irate_per_hr"),
+    )
+
+
+# =====================================================================
+# Inter-arrival log2 histogram (latency-band occupancy per type)
+# =====================================================================
+
+@_q(
+    "interarrival_log2_histogram",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, {_SQL_US} AS ts_us
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             ts_us - lag(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+             ) AS gap_us
+      FROM e
+    )
+    SELECT event_type,
+           CASE WHEN gap_us = 0 THEN 0
+                ELSE cast(length(bin(gap_us)) AS bigint) END AS log2_bucket,
+           cast(count(*) AS bigint) AS n_gaps,
+           cast(min(gap_us) AS bigint) AS min_gap_us,
+           cast(max(gap_us) AS bigint) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def interarrival_log2_histogram(spark, sf_dir):
+    """Histogram of inter-arrival gaps per event type on a log2 axis:
+    each consecutive same-user gap lands in bucket floor(log2(gap))+1
+    (bucket 0 = simultaneous), with exact min/max gap per cell — the
+    burstiness profile that sizes heartbeat_liveness_user's threshold
+    and the sessionize gap parameter from data instead of folklore.
+
+    Exactness: the bucket is ``length(bin(gap))`` — the binary-string
+    length is an EXACT integer floor(log2)+1, immune to the libm
+    log2() half-ulp wobble at exact powers of two that a
+    floor(log2(x)) formulation would inherit (gaps are integer
+    microseconds, so 2^k values really occur). Every output is a
+    BIGINT aggregate of BIGINTs.
+
+    Scale shape: one keyed window (partition by user, ordered lag —
+    per-key sort only) followed by one partial-agg groupBy whose
+    output cardinality is types x ~64 buckets. The gap stream never
+    joins anything. Reference analog: the acquisition-cadence screen —
+    days-between-scenes per parcel — that decides which parcels have
+    enough S2 revisits to reconstruct (src/01_extract_s2_data.py's
+    scene-count filter)."""
+    win = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    g = (
+        _e(spark, sf_dir)
+        .select(
+            "event_type",
+            (F.col("ts_us") - F.lag("ts_us").over(win)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    bucket = (
+        F.when(F.col("gap_us") == 0, F.lit(0).cast("long"))
+        .otherwise(F.length(F.bin(F.col("gap_us"))).cast("long"))
+    )
+    return g.groupBy("event_type", bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
