@@ -209,6 +209,8 @@ _TAIL = [
     "hapax_lexical_diversity",
     "irate_last_two",
     "interarrival_log2_histogram",
+    "pmi_collocations_topk",
+    "rolling_7d_distinct_users",
 ]
 
 assert len(_HEAD) == _WINDOW, (

@@ -146,6 +146,17 @@ HEADLINE = [
     "heartbeat_liveness_user",
     "histogram_quantile_type",
     "column_profile_orders",
+    # round-5 batch 6 (corpus health): PSI snapshot drift, Zipf slope,
+    # n-gram novelty vs reference half, hapax/TTR diversity, Prometheus
+    # irate, inter-arrival log2 histogram
+    "psi_token_drift",
+    "zipf_slope_source",
+    "ngram_novelty_score",
+    "hapax_lexical_diversity",
+    "irate_last_two",
+    "interarrival_log2_histogram",
+    "pmi_collocations_topk",
+    "rolling_7d_distinct_users",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

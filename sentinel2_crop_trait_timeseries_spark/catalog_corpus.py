@@ -413,3 +413,151 @@ def hapax_lexical_diversity(spark, sf_dir):
             6,
         ).alias("hapax_share"),
     )
+
+
+# =====================================================================
+# PMI collocations (top word pairs per source)
+# =====================================================================
+
+_PMI_MIN_C12 = 3
+_PMI_TOPK = 5
+
+
+@_q(
+    "pmi_collocations_topk",
+    f"""
+    WITH bg AS (
+      SELECT source, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT source,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t
+      WHERE len(ws) >= 2
+    ),
+    c12 AS (
+      SELECT source, w1, w2, cast(count(*) AS bigint) AS c12
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    u AS (
+      SELECT source, w, cast(count(*) AS bigint) AS c FROM
+        (SELECT source, w1 AS w FROM bg UNION ALL
+         SELECT source, w2 AS w FROM bg)
+      GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT source, cast(count(*) AS bigint) AS nbg FROM bg GROUP BY 1
+    ),
+    scored AS (
+      SELECT c12.source, c12.w1, c12.w2, c12.c12, u1.c AS c1, u2.c AS c2,
+             ln(cast(c12.c12 AS double) * cast(2 * n.nbg AS double)
+                / (cast(u1.c AS double) * cast(u2.c AS double))) AS pmi
+      FROM c12
+      JOIN u u1 ON u1.source = c12.source AND u1.w = c12.w1
+      JOIN u u2 ON u2.source = c12.source AND u2.w = c12.w2
+      JOIN n ON n.source = c12.source
+      WHERE c12.c12 >= {_PMI_MIN_C12}
+    ),
+    ranked AS (
+      SELECT source, w1, w2, c12, c1, c2,
+             round(1e-9 + pmi, 4) AS pmi,
+             cast(row_number() OVER (
+               PARTITION BY source
+               ORDER BY round(1e-9 + pmi, 2) DESC, c12 DESC, w1 ASC, w2 ASC
+             ) AS bigint) AS rank
+      FROM scored
+    )
+    SELECT source, w1, w2, c12, c1, c2, pmi, rank
+    FROM ranked WHERE rank <= {_PMI_TOPK}
+    """,
+)
+def pmi_collocations_topk(spark, sf_dir):
+    """Top-5 collocations per source by pointwise mutual information
+    over adjacent word pairs — the classic multiword-expression
+    extractor (Church & Hanks 1990), used in curation to spot
+    template/boilerplate sources (a handful of enormously
+    over-represented bigrams) and to seed tokenizer merge candidates
+    next to bpe_train_merges. PMI = ln(c12 * T / (c1 * c2)) where the
+    unigram counts c1/c2 and total T are taken over the bigram-slot
+    stream (each bigram contributes both its words), and pairs below
+    {_PMI_MIN_C12} occurrences are dropped as noise.
+
+    Determinism: the tfidf_top_terms recipe — the window ranks on the
+    PMI SNAPPED TO 2 DP with exact-integer tiebreaks (c12 DESC,
+    w1 ASC, w2 ASC), so a 1-ulp libm ln() disagreement between engines
+    cannot reorder ranks unless it crosses a 5e-3 boundary; the
+    displayed pmi uses the standard nudge-round to 4 dp; c12/c1/c2/T
+    are exact BIGINTs.
+
+    Scale shape: bigrams are generated IN-ROW (materialized word
+    array, the _shingles lesson — no O(len^2) lambda re-evaluation)
+    and immediately collapsed to (source, w1, w2) counts — the only
+    full-stream shuffle. Unigram-slot counts reuse the same bigram
+    frame; the two count tables meet by SHUFFLE equi-joins (vocab is
+    never broadcastable at corpus scale; per-source totals ARE
+    broadcast — a sources-sized frame). Top-5 is a keyed window over
+    the already-collapsed pair table."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    base = d.select("source", ws.alias("ws")).filter(F.size("ws") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 2),
+        lambda i: F.struct(
+            F.get("ws", i).alias("w1"), F.get("ws", i + 1).alias("w2")
+        ),
+    )
+    bg = base.select(
+        "source", F.explode(pairs).alias("p")
+    ).select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = bg.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    slots = bg.select("source", F.col("w1").alias("w")).unionAll(
+        bg.select("source", F.col("w2").alias("w"))
+    )
+    u = slots.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = bg.groupBy("source").agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("t_slots")
+    )
+    u1 = u.select("source", F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = u.select("source", F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        c12.filter(F.col("c12") >= _PMI_MIN_C12)
+        .join(u1, ["source", "w1"])
+        .join(u2, ["source", "w2"])
+        .join(F.broadcast(n), "source")
+        .select(
+            "source",
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.log(
+                F.col("c12").cast("double")
+                * F.col("t_slots").cast("double")
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ).alias("pmi_raw"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.round(F.lit(1e-9) + F.col("pmi_raw"), 2).desc(),
+        F.col("c12").desc(),
+        F.col("w1").asc(),
+        F.col("w2").asc(),
+    )
+    return (
+        scored.select(
+            "source",
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(F.lit(1e-9) + F.col("pmi_raw"), 4).alias("pmi"),
+            F.row_number().over(win).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= _PMI_TOPK)
+    )

@@ -3121,3 +3121,91 @@ def interarrival_log2_histogram(spark, sf_dir):
         F.min("gap_us").cast("long").alias("min_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+# =====================================================================
+# Rolling 7-day distinct users (exact sliding-window HLL alternative)
+# =====================================================================
+
+@_q(
+    "rolling_7d_distinct_users",
+    f"""
+    WITH e AS (
+      SELECT user_id, ({_SQL_US} // {_DAY_US}) * {_DAY_US} AS day_us
+      FROM events
+    ),
+    du AS (SELECT day_us, user_id FROM e GROUP BY 1, 2),
+    active AS (SELECT day_us FROM du GROUP BY 1),
+    fan AS (
+      SELECT du.day_us + o * {_DAY_US} AS target_us, du.user_id,
+             CASE WHEN o = 0 THEN 1 ELSE 0 END AS is_same_day
+      FROM du, LATERAL (SELECT unnest(generate_series(0, 6)) AS o) t
+    )
+    SELECT f.target_us AS day_us,
+           cast(count(DISTINCT f.user_id) AS bigint) AS n_users_7d,
+           cast(count(DISTINCT CASE WHEN f.is_same_day = 1
+                                    THEN f.user_id END) AS bigint)
+             AS n_users_1d
+    FROM fan f JOIN active a ON a.day_us = f.target_us
+    GROUP BY 1
+    """,
+)
+def rolling_7d_distinct_users(spark, sf_dir):
+    """Exact 7-day rolling distinct active users per day (the WAU
+    curve), surfaced only for days that themselves have activity —
+    alongside the same-day distinct count. The EXACT twin of the
+    mergeable-sketch approach (kmv_distinct_estimate / HLL): at
+    100 TB most shops ship the sketch, but the exact number is the
+    calibration target, and distinct-over-sliding-window is the one
+    rollup the cascade's algebraic partials CANNOT express (distinct
+    does not re-aggregate), which is exactly why it gets its own
+    operator.
+
+    Scale shape: the classic bounded-fanout formulation — the event
+    stream first collapses to distinct (day, user) pairs (one
+    partial-agg shuffle, the big one), each pair then fans out to the
+    <= 7 window-end days it can serve (in-row explode of a 7-element
+    sequence — amplification is a CONSTANT 7x of the already-collapsed
+    pair table, never of raw events), and one distinct-agg per target
+    day finishes. A naive window-function COUNT(DISTINCT) OVER RANGE
+    is unsupported/quadratic; a self-join of day ranges shuffles the
+    pair table 7 times instead of fanning in-row. The active-day
+    restriction is a broadcast semi-join against the tiny day list.
+    All outputs exact BIGINTs. Reference analog: the 7-day composite
+    window the reference slides over scenes to pick cloud-free
+    mosaics (src/01_extract_s2_data.py's temporal compositing).
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr(_US).alias("ts_us")
+    )
+    du = (
+        e.select(
+            ((F.col("ts_us") - F.col("ts_us") % _DAY_US)).alias("day_us"),
+            "user_id",
+        )
+        .groupBy("day_us", "user_id")
+        .agg(F.lit(1).alias("one"))
+        .drop("one")
+    )
+    active = du.select("day_us").groupBy("day_us").agg(F.lit(1).alias("x"))
+    fan = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day_us",
+        "user_id",
+    ).select(
+        (F.col("day_us") + F.col("o") * _DAY_US).alias("target_us"),
+        "user_id",
+        F.when(F.col("o") == 0, 1).otherwise(0).alias("is_same_day"),
+    )
+    joined = fan.join(
+        F.broadcast(active.withColumnRenamed("day_us", "target_us")),
+        "target_us",
+    )
+    return joined.groupBy(F.col("target_us").alias("day_us")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_7d"),
+        F.countDistinct(
+            F.when(F.col("is_same_day") == 1, F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n_users_1d"),
+    )

@@ -356,3 +356,101 @@ def test_partition_invariance_of_corpus_batch(spark):
     a, b = snap(3), snap(32)
     for name in names:
         assert a[name] == b[name], name
+
+
+# ---------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------
+
+
+def test_pmi_finds_the_collocation(spark, tmp_path):
+    # "new york" always adjacent; filler words never repeat a pair
+    text = " ".join(f"f{i} new york g{i}" for i in range(6))
+    sf = _mkdocs(spark, tmp_path, [_doc(0, text)])
+    out = QUERIES["pmi_collocations_topk"]["fn"](spark, sf).collect()
+    top = [r for r in out if r["rank"] == 1][0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    assert top["c12"] == 6
+    assert top["pmi"] > 0
+
+
+def test_pmi_drops_rare_pairs_and_caps_topk(spark, tmp_path):
+    # every bigram occurs exactly twice except "a b" (4x) -> only
+    # pairs with c12 >= 3 survive the noise floor
+    text = "a b c d " * 2 + "a b " * 2
+    sf = _mkdocs(spark, tmp_path, [_doc(0, text.strip())])
+    out = QUERIES["pmi_collocations_topk"]["fn"](spark, sf).collect()
+    assert {(r["w1"], r["w2"]) for r in out} == {("a", "b")}
+    assert out[0]["c12"] == 4
+    assert all(r["rank"] <= 5 for r in out)
+
+
+# ---------------------------------------------------------------------
+# rolling 7-day distinct users
+# ---------------------------------------------------------------------
+
+
+def test_rolling_7d_window_membership(spark, tmp_path):
+    day = 86_400
+    sf = _mkevents(
+        spark,
+        tmp_path,
+        [
+            _ev(1, 0 * day, user_id=1),
+            _ev(2, 3 * day, user_id=2),
+            _ev(3, 7 * day, user_id=3),  # day 0 falls OUT of day-7 window
+        ],
+    )
+    out = {
+        r["day_us"] // (day * 1_000_000): r
+        for r in QUERIES["rolling_7d_distinct_users"]["fn"](
+            spark, sf
+        ).collect()
+    }
+    base = out[19723]  # 2024-01-01 is day 19723 since epoch
+    assert base["n_users_7d"] == 1 and base["n_users_1d"] == 1
+    d3 = out[19726]
+    assert d3["n_users_7d"] == 2 and d3["n_users_1d"] == 1
+    d7 = out[19730]
+    assert d7["n_users_7d"] == 2  # users 2 (day 3) and 3; NOT user 1
+    # only active days are surfaced: days 1,2,4,5,6 absent
+    assert set(out) == {19723, 19726, 19730}
+
+
+def test_rolling_7d_same_user_counts_once(spark, tmp_path):
+    day = 86_400
+    sf = _mkevents(
+        spark,
+        tmp_path,
+        [_ev(i, i * day, user_id=7) for i in range(3)],
+    )
+    out = QUERIES["rolling_7d_distinct_users"]["fn"](spark, sf).collect()
+    assert all(r["n_users_7d"] == 1 for r in out)
+
+
+def test_batch2_plans_no_cartesian_no_python(spark):
+    for name in ("pmi_collocations_topk", "rolling_7d_distinct_users"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, name
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_partition_invariance_of_batch2(spark):
+    names = ("pmi_collocations_topk", "rolling_7d_distinct_users")
+
+    def snap(n_part):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        try:
+            return {
+                name: sorted(
+                    map(tuple, QUERIES[name]["fn"](spark, SF).collect())
+                )
+                for name in names
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    a, b = snap(3), snap(32)
+    for name in names:
+        assert a[name] == b[name], name
