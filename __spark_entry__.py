@@ -211,6 +211,15 @@ _TAIL = [
     "interarrival_log2_histogram",
     "pmi_collocations_topk",
     "rolling_7d_distinct_users",
+    # late-r5 serving/information batch (catalog_final.py, post-window):
+    # M4 error-free chart downsample, VWAP, Bollinger bands, unigram
+    # entropy, Markov transition matrix — 3-SF oracle-verified locally
+    # + CI tail-checked; rotate into r6's _HEAD with the blocks above
+    "m4_downsample",
+    "vwap_type_daily",
+    "bollinger_bands",
+    "token_entropy_source",
+    "markov_transitions",
 ]
 
 assert len(_HEAD) == _WINDOW, (

@@ -157,6 +157,12 @@ HEADLINE = [
     "interarrival_log2_histogram",
     "pmi_collocations_topk",
     "rolling_7d_distinct_users",
+    # late-r5 serving/information batch (catalog_final.py)
+    "m4_downsample",
+    "vwap_type_daily",
+    "bollinger_bands",
+    "token_entropy_source",
+    "markov_transitions",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -1698,3 +1698,4 @@ from sentinel2_crop_trait_timeseries_spark import catalog_engine  # noqa: E402,F
 from sentinel2_crop_trait_timeseries_spark import catalog_ts  # noqa: E402,F401
 from sentinel2_crop_trait_timeseries_spark import catalog_sketch  # noqa: E402,F401
 from sentinel2_crop_trait_timeseries_spark import catalog_corpus  # noqa: E402,F401
+from sentinel2_crop_trait_timeseries_spark import catalog_final  # noqa: E402,F401
