@@ -220,6 +220,8 @@ _TAIL = [
     "bollinger_bands",
     "token_entropy_source",
     "markov_transitions",
+    "kl_divergence_source",
+    "sma_crossover_signals",
 ]
 
 assert len(_HEAD) == _WINDOW, (

@@ -163,6 +163,8 @@ HEADLINE = [
     "bollinger_bands",
     "token_entropy_source",
     "markov_transitions",
+    "kl_divergence_source",
+    "sma_crossover_signals",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

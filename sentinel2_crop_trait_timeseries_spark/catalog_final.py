@@ -421,3 +421,200 @@ def markov_transitions(spark, sf_dir):
             4,
         ).alias("p_next"),
     )
+
+
+# =====================================================================
+# KL divergence of each source's unigram mix vs the corpus mix
+# =====================================================================
+
+@_q(
+    "kl_divergence_source",
+    f"""
+    WITH w AS ({_SQL_SWORDS}),
+    sw AS (
+      SELECT source, w, cast(count(*) AS bigint) AS c_sw
+      FROM w GROUP BY 1, 2
+    ),
+    cw AS (
+      SELECT w, cast(sum(c_sw) AS bigint) AS c_w FROM sw GROUP BY 1
+    ),
+    ns AS (
+      SELECT source, cast(sum(c_sw) AS bigint) AS n_s FROM sw GROUP BY 1
+    ),
+    nn AS (SELECT cast(sum(c_w) AS bigint) AS n FROM cw),
+    terms AS (
+      SELECT sw.source, ns.n_s, nn.n,
+             cast(floor(
+               (cast(sw.c_sw AS double) / cast(ns.n_s AS double))
+               * ln(cast(sw.c_sw * nn.n AS double)
+                    / cast(cw.c_w * ns.n_s AS double))
+               * {_GRID} + 0.5) AS bigint) AS kterm
+      FROM sw
+      JOIN cw USING (w)
+      JOIN ns USING (source)
+      CROSS JOIN nn
+    )
+    SELECT source, n_s AS n_words, n AS n_words_corpus,
+           cast(sum(kterm) AS bigint) AS kl_x2p20,
+           round(1e-9 + cast(sum(kterm) AS double) / {_GRID}, 4)
+             AS kl_nats
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def kl_divergence_source(spark, sf_dir):
+    """KL divergence of each source's unigram token distribution from
+    the whole-corpus distribution: KL(P_s || P) = sum_w p_sw *
+    ln(p_sw / p_w) — the "how far is this source from the mixture?"
+    number a pretraining mixture designer reads next to
+    source_mixture_weights (DSIR-style domain relevance uses exactly
+    this quantity; see dsir_importance_weights for the per-doc
+    variant). Completes the drift family: psi_token_drift compares two
+    SNAPSHOTS of one source; this compares each SOURCE to the corpus.
+    No smoothing is needed: every source word is in the corpus by
+    construction (support(P_s) is a subset of support(P)), so every
+    term is finite.
+
+    Exactness: counts are BIGINT; each term's float chain is mirrored
+    expression-for-expression — (c_sw/n_s) * ln((c_sw*n)/(c_w*n_s)) —
+    where both divisions are correctly rounded on exact integer
+    operands (products < 2^63), then snapped to the 1/2^20 dyadic
+    grid BEFORE the cross-row sum. Terms may be negative (p_sw < p_w);
+    floor(x + 0.5) is the same function in both engines for either
+    sign, so the snap stays engine-identical. Residual risk is the
+    per-term 1-ulp libm ln() disagreement flipping a snap
+    (~2^-32/term — the accepted tfidf/PSI risk). The surfaced
+    ``kl_x2p20`` is an integer sum: order/partitioning-independent;
+    Gibbs' inequality makes the true KL >= 0, so the snapped sum is
+    >= -vocab/2 ulps (test pins >= 0 within snap error).
+
+    Scale shape: (source, word) collapse first — corpus-stream work
+    ends there, and the collapsed vocab-sized frame is eagerly
+    localCheckpoint-ed (the k-means/PQ house pattern) so the corpus
+    tokenize runs ONCE even though three aggregates (c_w, n_s, n)
+    derive from it. The word-keyed join of the vocab-sized frames is
+    left to AQE: broadcast at fixture scale, shuffle at production
+    vocab sizes (same frame sizes as tfidf_top_terms); n_s/n are
+    broadcast scalar joins, and the final rollup is sources-sized."""
+    d = _t(spark, sf_dir, "documents")
+    sw = (
+        _swords(d)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+        .localCheckpoint(eager=True)
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    ns = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    nn = cw.agg(F.sum("c_w").alias("n"))
+    terms = (
+        sw.join(cw, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "n_s",
+            "n",
+            F.floor(
+                (F.col("c_sw").cast("double") / F.col("n_s").cast("double"))
+                * F.log(
+                    (F.col("c_sw") * F.col("n")).cast("double")
+                    / (F.col("c_w") * F.col("n_s")).cast("double")
+                )
+                * _GRID
+                + 0.5
+            )
+            .cast("long")
+            .alias("kterm"),
+        )
+    )
+    return terms.groupBy(
+        "source",
+        F.col("n_s").alias("n_words"),
+        F.col("n").alias("n_words_corpus"),
+    ).agg(
+        F.sum("kterm").alias("kl_x2p20"),
+        F.round(
+            F.lit(1e-9) + F.sum("kterm").cast("double") / F.lit(float(_GRID)),
+            4,
+        ).alias("kl_nats"),
+    )
+
+
+# =====================================================================
+# SMA crossover signals (golden/death cross, exact integer test)
+# =====================================================================
+
+@_q(
+    "sma_crossover_signals",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, {_SQL_US} AS ts_us, {_SQL_CENTS} AS cents
+      FROM events
+    ), r AS (
+      SELECT *,
+        cast(sum(cents) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS bigint) AS s5,
+        cast(sum(cents) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS bigint) AS s20,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS rn
+      FROM o
+    ), d AS (
+      SELECT *, 4 * s5 - s20 AS diff,
+             lag(4 * s5 - s20) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS pdiff
+      FROM r
+    )
+    SELECT user_id, event_id, ts_us, cents, diff, pdiff,
+           CASE WHEN pdiff < 0 THEN 'golden' ELSE 'death' END AS direction
+    FROM d
+    WHERE rn >= 21
+      AND ((pdiff < 0 AND diff >= 0) OR (pdiff > 0 AND diff <= 0))
+    """,
+)
+def sma_crossover_signals(spark, sf_dir):
+    """Moving-average crossover detector per user: emit the events
+    where the 5-sample SMA crosses the 20-sample SMA ('golden' up,
+    'death' down) — the classic trend-change signal over any ordered
+    series. The comparison is EXACT with zero floats: SMA5 > SMA20
+    iff s5/5 > s20/20 iff 4*s5 > s20, so ``diff = 4*s5 - s20`` is an
+    exact BIGINT whose sign change IS the crossover; no division ever
+    happens. Rows are eligible from rn >= 21, so both the current and
+    the lagged row have full 5- and 20-sample windows (no warm-up
+    artifacts). Tie rule: a touch (diff = 0) resolves with the side
+    the series came from (pdiff < 0 -> golden, pdiff > 0 -> death);
+    flat-to-flat (pdiff = 0) is no signal.
+
+    Scale shape: ONE shuffle by user; both running sums, the
+    row_number and the lag share the same sort order, so the plan is
+    a single exchange + sort with stacked window operators, then a
+    narrow filter — no joins, output is only the crossover events
+    (sparse). At 100 TB this is scan + one sort-based shuffle keyed
+    by series."""
+    e = _e(spark, sf_dir).select("user_id", "event_id", "ts_us", "cents")
+    ob = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    r = (
+        e.withColumn("s5", F.sum("cents").over(ob.rowsBetween(-4, 0)))
+        .withColumn("s20", F.sum("cents").over(ob.rowsBetween(-19, 0)))
+        .withColumn("rn", F.row_number().over(ob))
+        .withColumn("diff", 4 * F.col("s5") - F.col("s20"))
+    )
+    d = r.withColumn("pdiff", F.lag("diff").over(ob))
+    return d.filter(
+        (F.col("rn") >= 21)
+        & (
+            ((F.col("pdiff") < 0) & (F.col("diff") >= 0))
+            | ((F.col("pdiff") > 0) & (F.col("diff") <= 0))
+        )
+    ).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "cents",
+        "diff",
+        "pdiff",
+        F.when(F.col("pdiff") < 0, F.lit("golden"))
+        .otherwise(F.lit("death"))
+        .alias("direction"),
+    )

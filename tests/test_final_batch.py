@@ -23,6 +23,8 @@ _NEW = [
     "bollinger_bands",
     "token_entropy_source",
     "markov_transitions",
+    "kl_divergence_source",
+    "sma_crossover_signals",
 ]
 
 
@@ -165,6 +167,56 @@ def test_markov_rows_sum_to_one(spark, events):
         assert int(
             got[(got.prev_type == p) & (got.next_type == nx)].n_pair.iloc[0]
         ) == n
+
+
+def test_kl_nonnegative_and_matches_numpy(spark):
+    got = _run(spark, "kl_divergence_source").set_index("source")
+    # Gibbs: true KL >= 0; snapped sum can undershoot by <= vocab/2 ulps
+    assert (got.kl_x2p20 >= -got.n_words).all()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    words = docs.assign(w=docs.text.str.split()).explode("w")
+    words = words[words.w.astype(str).str.len() > 0]
+    cw = words.groupby("w").size()
+    n = float(cw.sum())
+    for src in list(got.index)[:3]:
+        csw = words[words.source == src].groupby("w").size()
+        ns = float(csw.sum())
+        p_s = csw / ns
+        p = cw.loc[csw.index] / n
+        kl = float((p_s * np.log(p_s / p)).sum())
+        row = got.loc[src]
+        assert row.n_words == int(ns)
+        assert abs(row.kl_nats - kl) < 1e-3
+        assert kl >= 0
+
+
+def test_sma_crossover_matches_pandas(spark, events):
+    got = _run(spark, "sma_crossover_signals").sort_values("event_id")
+    s = events.sort_values(["user_id", "ts_us", "event_id"]).copy()
+    g = s.groupby("user_id").cents
+    s["s5"] = g.rolling(5).sum().reset_index(level=0, drop=True)
+    s["s20"] = g.rolling(20).sum().reset_index(level=0, drop=True)
+    s["diff"] = 4 * s.s5 - s.s20
+    s["pdiff"] = s.groupby("user_id")["diff"].shift(1)
+    s["rn"] = s.groupby("user_id").cumcount() + 1
+    exp = s[
+        (s.rn >= 21)
+        & (
+            ((s.pdiff < 0) & (s["diff"] >= 0))
+            | ((s.pdiff > 0) & (s["diff"] <= 0))
+        )
+    ]
+    assert sorted(got.event_id) == sorted(exp.event_id)
+    m = got.set_index("event_id").join(
+        exp.set_index("event_id")[["pdiff"]], rsuffix="_exp"
+    )
+    assert (
+        (m.direction == "golden") == (m.pdiff_exp < 0)
+    ).all()
+    # NOTE: strict golden/death alternation is NOT an invariant — a
+    # diff == 0 touch emits a signal while leaving the next lag at 0
+    # (no signal), so two same-direction crossings can follow; the
+    # pandas recomputation above pins the exact semantics instead.
 
 
 @pytest.mark.parametrize("name", _NEW)
