@@ -222,6 +222,7 @@ _TAIL = [
     "markov_transitions",
     "kl_divergence_source",
     "sma_crossover_signals",
+    "time_travel_snapshot",
 ]
 
 assert len(_HEAD) == _WINDOW, (

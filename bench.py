@@ -165,6 +165,7 @@ HEADLINE = [
     "markov_transitions",
     "kl_divergence_source",
     "sma_crossover_signals",
+    "time_travel_snapshot",
 ]
 
 # engine-pipeline scale for the bench (docs); ~14 obs/doc average

@@ -618,3 +618,78 @@ def sma_crossover_signals(spark, sf_dir):
         .otherwise(F.lit("death"))
         .alias("direction"),
     )
+
+
+# =====================================================================
+# Time-travel snapshot (Iceberg/Delta "AS OF" over a CDC version log)
+# =====================================================================
+
+_ASOF_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z (mid-fixture)
+
+
+@_q(
+    "time_travel_snapshot",
+    f"""
+    WITH v AS (
+      SELECT user_id, event_id, {_SQL_US} AS ts_us, {_SQL_CENTS} AS cents,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+      WHERE {_SQL_US} <= {_ASOF_US}
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC)
+                  AS rn,
+             cast(count(*) OVER (PARTITION BY user_id) AS bigint)
+               AS n_versions
+      FROM v
+    )
+    SELECT user_id, cents AS cents_asof, ts_us AS version_ts_us,
+           event_id AS version_event_id, n_versions
+    FROM r WHERE rn = 1 AND op = 'U'
+    """,
+)
+def time_travel_snapshot(spark, sf_dir):
+    """Snapshot-as-of reconstruction over a CDC version log — the
+    Iceberg ``FOR TIMESTAMP AS OF`` / Delta time-travel semantics
+    re-expressed as a query: each event row is a version of its key
+    (user), 'error' events act as deletes, and the snapshot at T =
+    2024-01-16T00:00:00Z is the latest at-or-before version per key,
+    keys whose latest version is a delete omitted. Completes the
+    table-maintenance family: cdc_merge_apply applies a change batch
+    FORWARD; this reads the log BACKWARD to a point in time (the pair
+    is the MERGE + time-travel surface of a lakehouse table format,
+    here without the Iceberg runtime jar the container lacks —
+    table_io.py holds the seam). Reference analog: the reconstruction
+    pipeline's resume-from-manifest reads only versions at-or-before
+    the checkpoint's timestamp.
+
+    Exactness: the version order (ts_us, event_id) is total (event_id
+    unique), so rn = 1 picks the same row in both engines; all
+    surfaced values are BIGINT.
+
+    Scale shape: the AS-OF predicate is pushed to the scan (time-range
+    partition pruning in a real table layout), then ONE shuffle by key
+    for the row_number + count windows (shared partition), and a
+    narrow rn = 1 filter — per-key cost bounded by that key's version
+    history, the standard log-compaction shape."""
+    e = _e(spark, sf_dir).filter(F.col("ts_us") <= _ASOF_US)
+    v = e.withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    r = v.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_versions",
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+    )
+    return r.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        "user_id",
+        F.col("cents").alias("cents_asof"),
+        F.col("ts_us").alias("version_ts_us"),
+        F.col("event_id").alias("version_event_id"),
+        "n_versions",
+    )

@@ -25,6 +25,7 @@ _NEW = [
     "markov_transitions",
     "kl_divergence_source",
     "sma_crossover_signals",
+    "time_travel_snapshot",
 ]
 
 
@@ -217,6 +218,25 @@ def test_sma_crossover_matches_pandas(spark, events):
     # diff == 0 touch emits a signal while leaving the next lag at 0
     # (no signal), so two same-direction crossings can follow; the
     # pandas recomputation above pins the exact semantics instead.
+
+
+def test_time_travel_matches_pandas(spark, events):
+    from sentinel2_crop_trait_timeseries_spark.catalog_final import _ASOF_US
+
+    got = _run(spark, "time_travel_snapshot").set_index("user_id")
+    v = events[events.ts_us <= _ASOF_US].sort_values(
+        ["user_id", "ts_us", "event_id"]
+    )
+    last = v.groupby("user_id").tail(1)
+    live = last[last.event_type != "error"]
+    assert sorted(got.index) == sorted(live.user_id)
+    m = got.join(live.set_index("user_id"), rsuffix="_exp")
+    assert (m.version_event_id == m.event_id).all()
+    assert (m.cents_asof == m.cents).all()
+    nv = v.groupby("user_id").size()
+    assert (got.n_versions == nv.loc[got.index]).all()
+    # versions after T never leak into the snapshot
+    assert (got.version_ts_us <= _ASOF_US).all()
 
 
 @pytest.mark.parametrize("name", _NEW)
