@@ -1507,30 +1507,53 @@ def spatial_snap_nn(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("signup", "error")
     )
-    x = ((F.col("event_id") * 48271) % 19997) / 100.0
-    y = ((F.col("event_id") * 69621) % 19997) / 100.0
-    pts = ev.select(
-        "event_id", "event_type", x.alias("x"), y.alias("y"),
-        F.floor(x / 5.0).cast("long").alias("cx"),
-        F.floor(y / 5.0).cast("long").alias("cy"),
+    # r6 scale fix (guide §8: decide on small rows, attach to big rows).
+    # (x, y) depends on event_id only through m = event_id % 19997
+    # ((e*48271) % 19997 == ((e % 19997)*48271) % 19997), so there are
+    # at most 19997 DISTINCT LOCATIONS no matter the corpus size. The
+    # old plan joined every co-located duplicate against every other
+    # (cell occupancy grows with sf, candidates quadratically: 264 s at
+    # sf1.0). The 3x3 cell join now runs once per distinct location
+    # (<= 19997 rows a side): co-located signups share one winner, and
+    # among co-located errors the (dist, right_id) tie-break always
+    # picks the minimum right_id, so reducing errors to min(event_id)
+    # per location and re-attaching the per-location winner to all
+    # signups via a broadcast equi-join on m is row-identical to the
+    # all-duplicates join.
+    keyed = ev.select(
+        "event_id", "event_type", (F.col("event_id") % 19997).alias("m")
+    )
+    # location coords from the residue — bit-identical to the event_id
+    # form (exact integer ops, then the same /100.0)
+    x = ((F.col("m") * 48271) % 19997) / 100.0
+    y = ((F.col("m") * 69621) % 19997) / 100.0
+    lloc = (
+        keyed.filter(F.col("event_type") == "signup")
+        .select("m").distinct()
+        .select(
+            "m", x.alias("x"), y.alias("y"),
+            F.floor(x / 5.0).cast("long").alias("cx"),
+            F.floor(y / 5.0).cast("long").alias("cy"),
+        )
+    )
+    rloc = (
+        keyed.filter(F.col("event_type") == "error")
+        .groupBy("m").agg(F.min("event_id").alias("right_id"))
+        .select(
+            "right_id", x.alias("xr"), y.alias("yr"),
+            F.floor(x / 5.0).cast("long").alias("cx"),
+            F.floor(y / 5.0).cast("long").alias("cy"),
+        )
     )
     off = F.array(F.lit(-1), F.lit(0), F.lit(1))
     left = (
-        pts.filter(F.col("event_type") == "signup")
+        lloc.select("m", "x", "y", "cx", "cy", F.explode(off).alias("dx"))
+        .select("m", "x", "y", "cx", "cy", "dx", F.explode(off).alias("dy"))
         .select(
-            F.col("event_id").alias("left_id"), "x", "y", "cx", "cy",
-            F.explode(off).alias("dx"),
-        )
-        .select("left_id", "x", "y", "cx", "cy", "dx", F.explode(off).alias("dy"))
-        .select(
-            "left_id", "x", "y",
+            "m", "x", "y",
             (F.col("cx") + F.col("dx")).alias("cx"),
             (F.col("cy") + F.col("dy")).alias("cy"),
         )
-    )
-    right = pts.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("right_id"),
-        F.col("x").alias("xr"), F.col("y").alias("yr"), "cx", "cy",
     )
     dist = F.round(
         F.lit(1e-9)
@@ -1540,14 +1563,20 @@ def spatial_snap_nn(spark, sf_dir):
         ),
         4,
     )
-    w = Window.partitionBy("left_id").orderBy("dist", "right_id")
-    return (
-        left.join(right, ["cx", "cy"])
-        .select("left_id", "right_id", dist.alias("dist"))
+    w = Window.partitionBy("m").orderBy("dist", "right_id")
+    winners = (
+        left.join(rloc, ["cx", "cy"])
+        .select("m", "right_id", dist.alias("dist"))
         .filter(F.col("dist") <= 4.9)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("left_id", "right_id", "dist")
+        .select("m", "right_id", "dist")
+    )
+    lefts = keyed.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("left_id"), "m"
+    )
+    return lefts.join(F.broadcast(winners), "m").select(
+        "left_id", "right_id", "dist"
     )
 
 
