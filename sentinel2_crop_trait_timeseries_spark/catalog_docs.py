@@ -1390,7 +1390,9 @@ def ann_ivf_trained(spark, sf_dir):
     same 2/8 here as the seeded 2/16 with its wider cells; training
     pays off on CLUSTERED corpora where Lloyd moves cells onto the
     modes and the probed fraction concentrates the true neighbors."""
-    from sentinel2_crop_trait_timeseries_spark.operators.ann import _topk
+    from sentinel2_crop_trait_timeseries_spark.operators.ann import (
+        grouped_cell_topk,
+    )
 
     e, _, c2 = _kmeans_parts(spark, sf_dir)
     ranked = _trained_cells(e, c2)
@@ -1402,10 +1404,11 @@ def ann_ivf_trained(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),
         F.col("cj").alias("cell"),
     )
-    j = corpus.join(F.broadcast(probes), "cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    return _topk(j, 3)
+    # per-cell cogroup scoring (grouped_cell_topk): every candidate
+    # meets exactly once (one home cell per corpus row, rk<=2 probe
+    # cells distinct per query); grid-snapped values make the numpy
+    # sums exact, so scores are engine-identical by construction
+    return grouped_cell_topk(corpus, probes, 3)
 
 
 
@@ -2014,6 +2017,7 @@ def ann_recall_clustered(spark, sf_dir):
     equi-join); rank keys are round(cos,4)+id so both engines agree."""
     from sentinel2_crop_trait_timeseries_spark.operators.ann import (
         brute_force_topk,
+        grouped_cell_topk,
         ivf_topk,
         sign_projection_topk,
     )
@@ -2039,19 +2043,9 @@ def ann_recall_clustered(spark, sf_dir):
         F.col("embedding").alias("qe"),
         "cell",
     )
-    cos = F.round(
-        F.lit(1e-9)
-        + _dot(F.col("qe"), F.col("ec")) / (_norm(F.col("qe")) * _norm(F.col("ec"))),
-        4,
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    lsh4 = (
-        l4c.join(F.broadcast(l4q), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-    )
+    # per-cell cogroup scoring (grouped_cell_topk) — same candidates,
+    # vectorized exact-on-grid scoring instead of fold expressions
+    lsh4 = grouped_cell_topk(l4c, l4q, 3)
 
     methods = {
         "multiprobe": sign_projection_topk(

@@ -65,9 +65,15 @@ def test_fused_tiers_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
-def test_ann_broadcasts_queries(spark):
+def test_ann_bruteforce_cogroup_cells(spark):
+    """Brute force rides the hash-block cogroup (grouped_cell_topk):
+    dense numpy scoring per cell, never a nested-loop join over the
+    full pair space (r6 rewrite; was BroadcastNestedLoopJoin +
+    interpreted fold cosine)."""
     plan = _executed(spark, "ann_topk_bruteforce")
-    assert "Broadcast" in plan  # query set broadcast, corpus stays put
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_lsh_band_join_is_equijoin(spark):
@@ -101,20 +107,21 @@ def test_spatial_snap_nn_is_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ann_multiprobe_broadcasts_probes_only(spark):
-    """Multi-probe ANN: the x9-replicated query side is broadcast; the
-    bucketed corpus joins by hash equi-join and never shuffles through
-    a nested loop."""
+def test_ann_multiprobe_cogroup_cells(spark):
+    """Multi-probe ANN: candidates meet inside the per-bucket cogroup
+    (grouped_cell_topk) — the x9-replicated probe side is tiny, the
+    bucketed corpus shuffles once by its bucket key, and scoring is
+    the vectorized cell kernel, never a nested loop."""
     plan = _executed(spark, "ann_multiprobe")
-    assert "BroadcastHashJoin" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ann_ivf_is_equijoin(spark):
-    """IVF cell ids are equi-join keys: broadcast probes, no BNLJ."""
+def test_ann_ivf_cogroup_cells(spark):
+    """IVF cell ids key the cogroup; no BNLJ/cartesian anywhere."""
     plan = _executed(spark, "ann_ivf")
-    assert "BroadcastHashJoin" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
