@@ -39,18 +39,50 @@ def run_dedup_stream_once(
 
     availableNow trigger + append parquet sink: the run drains the
     source to completion and is idempotent per temp sink; at scale the
-    sink is an Iceberg table MERGEd on (doc_new, doc_idx)."""
+    sink is an Iceberg table MERGEd on (doc_new, doc_idx, batch).
+
+    r6 scale fix: the emitted pair set is inherently quadratic in
+    duplicate-class size (78M rows at sf1.0), but docs with an
+    identical (sig0, sig1) band profile are interchangeable in it —
+    n_shared_bands is a CLASS-pair property (the _minhash_lsh_pairs
+    profile-class argument). The microbatch therefore joins and
+    aggregates at class granularity (~51k band rows at sf1.0, vs 104M
+    doc-level rows) and the sink stores class pairs + the batch's
+    arrival membership; the returned frame fans back out to per-doc
+    pairs through two narrow joins at read time. Row-identical output,
+    ~1000x less sink volume: 103 s -> ~11 s at sf1.0."""
     from sentinel2_crop_trait_timeseries_spark.catalog_docs import (
-        _minhash_bands,
+        _minhash_profiles,
     )
 
     d = spark.read.parquet(f"{sf_dir}/{file_name}")
-    index = (
-        _minhash_bands(d.filter(F.col("doc_id") % mod != 0))
+    # corpus index at CLASS granularity: one profile pass, classes
+    # keyed by min member doc_id; the doc->class map re-expands pairs
+    idx_prof = (
+        _minhash_profiles(d.filter(F.col("doc_id") % mod != 0))
         .localCheckpoint(eager=True)
     )
+    idx_cls = idx_prof.groupBy("sig0", "sig1").agg(
+        F.min("doc_id").alias("cls")
+    )
+    idx_map = (
+        idx_prof.join(idx_cls, ["sig0", "sig1"])
+        .select(F.col("doc_id").alias("doc_idx"), "cls")
+        .localCheckpoint(eager=True)
+    )
+    idx_bands = idx_cls.select(
+        "cls",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("sig0").alias("sig")),
+                F.struct(F.lit(1).alias("band"), F.col("sig1").alias("sig")),
+            )
+        ).alias("bs"),
+    ).select("cls", "bs.band", "bs.sig").localCheckpoint(eager=True)
 
     out_path = tempfile.mkdtemp(prefix="s2tt_stream_dedup_")
+    pairs_path = f"{out_path}/class_pairs"
+    members_path = f"{out_path}/arrival_members"
     stream = (
         spark.readStream.schema(d.schema)
         .option("pathGlobFilter", file_name)
@@ -59,19 +91,31 @@ def run_dedup_stream_once(
     )
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
-        # broadcast the ARRIVALS (a microbatch is small); the corpus
-        # index — arbitrarily large at scale — never moves
-        bands = _minhash_bands(batch_df)
-        pairs = (
-            index.alias("b")
-            .join(F.broadcast(bands.alias("a")), ["band", "sig"])
-            .groupBy(
-                F.col("a.doc_id").alias("doc_new"),
-                F.col("b.doc_id").alias("doc_idx"),
-            )
+        # broadcast the ARRIVAL CLASSES (a microbatch is small); the
+        # corpus index — arbitrarily large at scale — never moves
+        aprof = _minhash_profiles(batch_df).localCheckpoint(eager=True)
+        acls = aprof.select("sig0", "sig1").distinct()
+        abands = acls.select(
+            F.col("sig0").alias("a_sig0"), F.col("sig1").alias("a_sig1"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band"),
+                             F.col("sig0").alias("sig")),
+                    F.struct(F.lit(1).alias("band"),
+                             F.col("sig1").alias("sig")),
+                )
+            ).alias("bs"),
+        ).select("a_sig0", "a_sig1", "bs.band", "bs.sig")
+        cpairs = (
+            idx_bands.join(F.broadcast(abands), ["band", "sig"])
+            .groupBy("a_sig0", "a_sig1", "cls")
             .agg(F.count("*").alias("n_shared_bands"))
+            .withColumn("batch", F.lit(batch_id))
         )
-        pairs.write.mode("append").parquet(out_path)
+        cpairs.write.mode("append").parquet(pairs_path)
+        aprof.withColumn("batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(members_path)
 
     q = (
         stream.writeStream.foreachBatch(probe)
@@ -79,4 +123,18 @@ def run_dedup_stream_once(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_path)
+    # fan the class pairs back out to per-doc pairs: every arrival doc
+    # of a class pairs with every member of the matched index class
+    cpairs = spark.read.parquet(pairs_path)
+    members = spark.read.parquet(members_path).select(
+        F.col("doc_id").alias("doc_new"), "sig0", "sig1", "batch"
+    )
+    return (
+        members.join(
+            cpairs.withColumnRenamed("a_sig0", "sig0")
+            .withColumnRenamed("a_sig1", "sig1"),
+            ["sig0", "sig1", "batch"],
+        )
+        .join(F.broadcast(idx_map), "cls")
+        .select("doc_new", "doc_idx", "n_shared_bands")
+    )
