@@ -1214,78 +1214,189 @@ def _snap(col):
     return F.floor(col * _KM_Q + F.lit(0.5)).cast("double") / _KM_Q
 
 
+def _wide_centroids(cb, key_cols, pos_col="pos", val_col="cv"):
+    """(key..., pos, val) rows -> (key..., cent array<double>) in pos
+    order — the _clustered_emb collect_list/array_sort pattern."""
+    return cb.groupBy(*key_cols).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(pos_col).alias("p"),
+                             F.col(val_col).alias("v"))
+                )
+            ),
+            lambda s: s.getField("v"),
+        ).alias("cent")
+    )
+
+
+def _blocked_cogroup(e, small, fn, schema, n_blocks=32):
+    """Hash-block the corpus, replicate the (tiny) centroid/table side
+    to every block, run one numpy kernel per block cogroup. Every
+    value involved lives on the 1/512 power-of-two grid, so numpy's
+    blocked summation is EXACT in IEEE double (no partial sum ever
+    rounds) and therefore bit-identical to the fold / posexplode-sum
+    forms it replaces, in any order — the fixed-point design's whole
+    point. Replaces the r4-r5 shape (posexplode -> broadcast join on
+    dim -> groupBy sums: tens of millions of narrow rows per Lloyd
+    step; guide §4.2)."""
+    eb = e.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    sb = small.withColumn(
+        "blk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    )
+    return (
+        eb.groupBy("blk").cogroup(sb.groupBy("blk")).applyInPandas(fn, schema)
+    )
+
+
+def _km_kernel(kind: str):
+    """Factory for the per-block Lloyd kernels ("partials", "assign",
+    "top2"). Returned closures are fully self-contained (imports and
+    helpers bound as closure locals, no module-global references), so
+    Spark pickles them BY VALUE and the Python worker never re-imports
+    catalog_docs (whose circular catalog imports only resolve
+    driver-side).
+
+    partials: assign each vector to its argmin-cost centroid (ties ->
+    smallest cl; centroids sorted by cl so argmin's first-occurrence
+    rule implements the struct-min tie-break), emit per-(cl, pos)
+    member sums + counts — map-side-combinable update partials.
+    assign: the (vec_id, cl) assignment itself.
+    top2: 2 nearest centroids by (cost, cl) — stable argsort over
+    cl-ordered columns implements the (d, cj) row_number tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    def np_cost(E, C):
+        # |c|^2 - 2 v.c — exact on the grid, identical to the summed
+        # per-dim (cv^2 - 2 v cv) terms in any order
+        return (C * C).sum(axis=1)[None, :] - 2.0 * (E @ C.T)
+
+    def stack(lpdf, rpdf):
+        r = rpdf.sort_values("cl")
+        E = np.stack(lpdf["emb"].to_numpy()).astype(np.float64)
+        C = np.stack(r["cent"].to_numpy()).astype(np.float64)
+        return E, C, r["cl"].to_numpy().astype(np.int64)
+
+    def partials(lpdf, rpdf):
+        empty = pd.DataFrame({
+            "cl": pd.Series([], dtype="int32"),
+            "pos": pd.Series([], dtype="int32"),
+            "psum": pd.Series([], dtype="float64"),
+            "pn": pd.Series([], dtype="int64"),
+        })
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        E, C, cls = stack(lpdf, rpdf)
+        j = np_cost(E, C).argmin(axis=1)
+        out_cl, out_pos, out_sum, out_n = [], [], [], []
+        dim = E.shape[1]
+        for jj in range(len(cls)):
+            members = E[j == jj]
+            if len(members) == 0:
+                continue
+            out_cl.append(np.full(dim, cls[jj], dtype=np.int32))
+            out_pos.append(np.arange(1, dim + 1, dtype=np.int32))
+            out_sum.append(members.sum(axis=0))
+            out_n.append(np.full(dim, len(members), dtype=np.int64))
+        if not out_cl:
+            return empty
+        return pd.DataFrame({
+            "cl": np.concatenate(out_cl),
+            "pos": np.concatenate(out_pos),
+            "psum": np.concatenate(out_sum),
+            "pn": np.concatenate(out_n),
+        })
+
+    def assign(lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "cl": pd.Series([], dtype="int32"),
+            })
+        E, C, cls = stack(lpdf, rpdf)
+        j = np_cost(E, C).argmin(axis=1)
+        return pd.DataFrame({
+            "vec_id": lpdf["vec_id"].to_numpy().astype(np.int64),
+            "cl": cls[j].astype(np.int32),
+        })
+
+    def top2(lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "cj": pd.Series([], dtype="int32"),
+                "rk": pd.Series([], dtype="int32"),
+            })
+        E, C, cls = stack(lpdf, rpdf)
+        order = np.argsort(np_cost(E, C), axis=1, kind="stable")[:, :2]
+        vid = lpdf["vec_id"].to_numpy().astype(np.int64)
+        n = len(vid)
+        return pd.DataFrame({
+            "vec_id": np.repeat(vid, 2),
+            "cj": cls[order].reshape(-1).astype(np.int32),
+            "rk": np.tile(np.array([1, 2], dtype=np.int32), n),
+        })
+
+    return {"partials": partials, "assign": assign, "top2": top2}[kind]
+
+
+_KM_PARTIALS_SCHEMA = "cl int, pos int, psum double, pn bigint"
+
+
+def _km_update(partials):
+    # sum(psum) is the exact member sum (grid values, every partial
+    # exact), sum(pn) the exact count; one correctly-rounded division
+    # of bit-identical operands, then re-snap — unchanged convention
+    return partials.groupBy("cl", "pos").agg(
+        _snap(F.sum("psum") / F.sum("pn")).alias("cv")
+    )
+
+
 def _kmeans_parts(spark, sf_dir):
     """Shared 2-round Lloyd state: (e, a2, c2) — the grid-snapped
-    corpus, final assignment, and trained (cl, pos, cv) codebook rows.
+    corpus, final assignment (vec_id, cl), and trained (cl, pos, cv)
+    codebook rows.
 
-    a2 and c2 are eagerly localCheckpoint-ed: the Lloyd chain executes
-    exactly ONCE per query run, and every consumer branch
-    (ivf_train_kmeans sizes+codebook, ann_ivf_trained corpus/probes/
-    cost) reads the materialized result instead of re-executing the
-    k-means subtree per DataFrame branch (the r3 'recomputes the whole
-    Lloyd chain' weakness). At cluster scale the same seam would be a
-    write-through table checkpoint; c2 is K*dim = 512 rows, a2 is one
-    row per vector."""
+    r6: each Lloyd step is one _blocked_cogroup numpy kernel (assign +
+    per-cluster partial sums inside the block) instead of posexplode ->
+    broadcast dim-join -> groupBy over ~10M narrow rows per step; the
+    update aggregates K*dim partials per block. Fixed-point grid =>
+    every sum exact in double => bit-identical to the old chain (and
+    the DuckDB CTE oracle) by construction. a2, c2 and the round-1
+    codebook are eagerly localCheckpoint-ed: the chain executes exactly
+    ONCE per query run and every consumer branch reads the
+    materialized result (the r3 'recomputes the whole Lloyd chain'
+    fix). At cluster scale the same seam would be a write-through
+    table checkpoint; c2 is K*dim = 512 rows, a2 one row per vector."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
             F.col("embedding"), lambda x: _snap(x.cast("double"))
         ).alias("emb"),
     )
-    from sentinel2_crop_trait_timeseries_spark.operators.ann import dot
-
     w = Window.orderBy("vec_id")
     init = (
         e.orderBy("vec_id").limit(_KM_K)
-        .select((F.row_number().over(w) - 1).alias("c"),
-                F.col("emb").alias("ce"))
+        .select((F.row_number().over(w) - 1).alias("cl"),
+                F.col("emb").alias("cent"))
     )
-    # exact: grid-value products summed sequentially; no rounding needed
-    cost1 = (
-        dot(F.col("ce"), F.col("ce")) - 2.0 * dot(F.col("emb"), F.col("ce"))
+    c1 = _km_update(
+        _blocked_cogroup(e, init, _km_kernel("partials"),
+                         _KM_PARTIALS_SCHEMA)
     )
-    a1 = (
-        e.crossJoin(F.broadcast(init))
-        .groupBy("vec_id", "emb")
-        .agg(F.min(F.struct(cost1.alias("d"), F.col("c").alias("c")))
-             .alias("m"))
-        .select("vec_id", "emb", F.col("m.c").alias("cl"))
-    )
-
-    def update(assigned):
-        # sum(v) is exact (grid values), /count is one correctly-rounded
-        # division of bit-identical operands, then re-snap to the grid
-        return (
-            assigned.select(
-                "cl", F.posexplode(F.col("emb")).alias("pos0", "v")
-            )
-            .select("cl", (F.col("pos0") + 1).alias("pos"), "v")
-            .groupBy("cl", "pos")
-            .agg(_snap(F.sum("v") / F.count(F.lit(1))).alias("cv"))
-        )
-
-    c1 = update(a1)
-    # round 2: cost from (cluster, dim, value) rows — join on dim,
-    # then sum the per-dim terms; exact (grid x grid products)
-    terms = (
-        a1.select("vec_id", F.posexplode(F.col("emb")).alias("pos0", "v"))
-        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
-        .join(F.broadcast(c1.select(F.col("cl").alias("cj"), "pos", "cv")),
-              "pos")
-        .groupBy("vec_id", "cj")
-        .agg(F.sum(
-            F.col("cv") * F.col("cv") - 2.0 * F.col("v") * F.col("cv")
-        ).alias("d"))
-    )
+    c1w = _wide_centroids(c1, ["cl"]).localCheckpoint(eager=True)
     a2 = (
-        terms.groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("d").alias("d"), F.col("cj").alias("c")))
-             .alias("m"))
-        .join(e, "vec_id")
-        .select("vec_id", "emb", F.col("m.c").alias("cl"))
+        _blocked_cogroup(e, c1w, _km_kernel("assign"),
+                         "vec_id bigint, cl int")
         .localCheckpoint(eager=True)
     )
-    c2 = update(a2).localCheckpoint(eager=True)
+    c2 = _km_update(
+        _blocked_cogroup(e, c1w, _km_kernel("partials"),
+                         _KM_PARTIALS_SCHEMA)
+    ).localCheckpoint(eager=True)
     return e, a2, c2
 
 
@@ -1355,22 +1466,15 @@ _IVF_TRAINED_SQL = f"""
 
 def _trained_cells(e, c2):
     """ranked (vec_id, cj, rk, emb): each vector's 2 nearest trained
-    cells (rk=1 is its home cell) — cost from the broadcast codebook
-    rows against posexploded vectors; the corpus never shuffles."""
-    cost = (
-        e.select("vec_id", F.posexplode(F.col("emb")).alias("pos0", "v"))
-        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
-        .join(F.broadcast(c2.select(F.col("cl").alias("cj"), "pos", "cv")),
-              "pos")
-        .groupBy("vec_id", "cj")
-        .agg(F.sum(
-            F.col("cv") * F.col("cv") - 2.0 * F.col("v") * F.col("cv")
-        ).alias("d"))
+    cells (rk=1 is its home cell) — one _blocked_cogroup numpy kernel
+    (costs exact on the grid; stable argsort = the (d, cj) row_number
+    tie-break) instead of the posexplode dim-join + per-vector window
+    over 10M narrow rows."""
+    c2w = _wide_centroids(c2, ["cl"])
+    ranked = _blocked_cogroup(
+        e, c2w, _km_kernel("top2"), "vec_id bigint, cj int, rk int"
     )
-    rk = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy("d", "cj")
-    )
-    return cost.withColumn("rk", rk).filter(F.col("rk") <= 2).join(e, "vec_id")
+    return ranked.join(e, "vec_id")
 
 
 @_q("ann_ivf_trained", _IVF_TRAINED_SQL)
@@ -1505,70 +1609,208 @@ _ANN_PQ_SQL = f"""
 """
 
 
+def _pq_kernel(kind: str):
+    """Factory for the per-block PQ kernels ("partials", "codes",
+    "tbl") — self-contained closures (no module-global references, see
+    _km_kernel's pickling note); subspace geometry bound by value.
+
+    partials: per-subspace argmin assignment against the init
+    centroids (ties -> smallest code) + per-(s, cl, lpos) member
+    sums/counts for the codebook update.
+    codes: the 4 per-subspace codes of each vector as one array.
+    tbl: each query's flattened ADC table t[s*K + cl] = sum_lpos v*cv
+    (slots for untrained (s, cl) pairs stay 0.0 and are never read:
+    codes only take trained values). All sums exact on the grid."""
+    import numpy as np
+    import pandas as pd
+
+    S, K, LD = _PQ_S, _PQ_K, _PQ_LD
+
+    def np_cost(E, C):
+        return (C * C).sum(axis=1)[None, :] - 2.0 * (E @ C.T)
+
+    def sub(E):
+        return [E[:, s * LD:(s + 1) * LD] for s in range(S)]
+
+    def codebook(rpdf):
+        out = []
+        for s in range(S):
+            sb = rpdf[rpdf["s"] == s].sort_values("cl")
+            cls = sb["cl"].to_numpy().astype(np.int64)
+            C = (
+                np.stack(sb["cent"].to_numpy()).astype(np.float64)
+                if len(sb) else np.zeros((0, LD))
+            )
+            out.append((cls, C))
+        return out
+
+    def partials(lpdf, rpdf):
+        empty = pd.DataFrame({
+            "s": pd.Series([], dtype="int32"),
+            "cl": pd.Series([], dtype="int32"),
+            "lpos": pd.Series([], dtype="int32"),
+            "psum": pd.Series([], dtype="float64"),
+            "pn": pd.Series([], dtype="int64"),
+        })
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        r = rpdf.sort_values("cl")
+        E = np.stack(lpdf["emb"].to_numpy()).astype(np.float64)
+        C = np.stack(r["cent"].to_numpy()).astype(np.float64)
+        cls = r["cl"].to_numpy().astype(np.int64)
+        out = {"s": [], "cl": [], "lpos": [], "psum": [], "pn": []}
+        for s, (Es, Cs) in enumerate(zip(sub(E), sub(C))):
+            j = np_cost(Es, Cs).argmin(axis=1)
+            for jj in range(len(cls)):
+                members = Es[j == jj]
+                if len(members) == 0:
+                    continue
+                out["s"].append(np.full(LD, s, dtype=np.int32))
+                out["cl"].append(np.full(LD, cls[jj], dtype=np.int32))
+                out["lpos"].append(np.arange(LD, dtype=np.int32))
+                out["psum"].append(members.sum(axis=0))
+                out["pn"].append(np.full(LD, len(members), dtype=np.int64))
+        if not out["s"]:
+            return empty
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    def codes_fn(lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "codes": pd.Series([], dtype="object"),
+            })
+        E = np.stack(lpdf["emb"].to_numpy()).astype(np.float64)
+        cb = codebook(rpdf)
+        cols = [
+            cls[np_cost(Es, Cs).argmin(axis=1)]
+            for Es, (cls, Cs) in zip(sub(E), cb)
+        ]
+        codes = np.stack(cols, axis=1).astype(np.int32)
+        return pd.DataFrame({
+            "vec_id": lpdf["vec_id"].to_numpy().astype(np.int64),
+            "codes": list(codes),
+        })
+
+    def tbl_fn(lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int64"),
+                "t": pd.Series([], dtype="object"),
+            })
+        E = np.stack(lpdf["emb"].to_numpy()).astype(np.float64)
+        cb = codebook(rpdf)
+        T = np.zeros((len(E), S * K))
+        for s, (Es, (cls, Cs)) in enumerate(zip(sub(E), cb)):
+            if len(cls):
+                T[:, s * K + cls] = Es @ Cs.T  # exact
+        return pd.DataFrame({
+            "query_id": lpdf["vec_id"].to_numpy().astype(np.int64),
+            "t": list(T),
+        })
+
+    return {"partials": partials, "codes": codes_fn, "tbl": tbl_fn}[kind]
+
+
+def _adc_topk_fn(use_cells: bool | None):
+    """Per-block ADC scorer: approximate inner product of every
+    (corpus, query) pair in the block = 4 table lookups summed
+    (exact grid values, so any summation order is bit-identical to the
+    old per-row F.sum over joined t rows), block-local top-3 per query
+    by (adc DESC, neighbor_id). use_cells=True restricts candidates to
+    corpus rows whose trained IVF home cell is in the query's probe
+    set (the ann_ivfpq composition); the global window then ranks the
+    3-per-block survivors exactly as the old full-candidate window."""
+    import numpy as np
+    import pandas as pd
+
+    S, K = _PQ_S, _PQ_K  # bound by value: the closure must not touch
+    # module globals (worker-side unpickling, see _km_kernel)
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "adc": pd.Series([], dtype="float64"),
+        })
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        vid = lpdf["vec_id"].to_numpy().astype(np.int64)
+        codes = np.stack(lpdf["codes"].to_numpy()).astype(np.int64)
+        idx = codes + (np.arange(S, dtype=np.int64) * K)[None, :]
+        qid = rpdf["query_id"].to_numpy().astype(np.int64)
+        T = np.stack(rpdf["t"].to_numpy()).astype(np.float64)
+        ccell = (
+            lpdf["cell"].to_numpy().astype(np.int64) if use_cells else None
+        )
+        qcells = rpdf["cells"].to_numpy() if use_cells else None
+        out_q, out_n, out_a = [], [], []
+        for jq in range(len(qid)):
+            if use_cells:
+                mask = np.isin(ccell, np.asarray(qcells[jq], dtype=np.int64))
+                mask &= vid != qid[jq]
+            else:
+                mask = vid != qid[jq]
+            rows = np.flatnonzero(mask)
+            if len(rows) == 0:
+                continue
+            adc = T[jq][idx[rows]].sum(axis=1)
+            order = np.lexsort((vid[rows], -adc))[:3]
+            out_q.append(np.full(len(order), qid[jq], dtype=np.int64))
+            out_n.append(vid[rows][order])
+            out_a.append(adc[order])
+        if not out_q:
+            return empty
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "adc": np.concatenate(out_a),
+        })
+
+    return fn
+
+
 def _pq_parts(spark, sf_dir):
-    """Shared PQ state: (ex, cb, codes, tbl) — exploded snapped corpus,
-    trained per-subspace codebook, per-vector codes, per-query ADC
-    tables. cb and codes are localCheckpoint-ed so PQ training runs
-    once regardless of consumer branches (the _kmeans_parts
-    discipline)."""
+    """Shared PQ state: (cbw, codes, tbl) — trained per-subspace
+    codebook in wide (s*16+cl ordered) form, per-vector 4-code arrays,
+    per-query flattened ADC tables. cbw and codes are
+    localCheckpoint-ed so PQ training runs once regardless of consumer
+    branches (the _kmeans_parts discipline). r6: every step is a
+    _blocked_cogroup numpy kernel over wide rows (exact on the grid,
+    bit-identical to the old posexplode/join chain and the DuckDB CTE
+    oracle) instead of ~40M narrow (vec, s, lpos) join rows."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
             F.col("embedding"), lambda x: _snap(x.cast("double"))
         ).alias("emb"),
     )
-    ex = (
-        e.select("vec_id", F.posexplode(F.col("emb")).alias("pos0", "v"))
-        .select(
-            "vec_id",
-            (F.col("pos0") / _PQ_LD).cast("int").alias("s"),
-            (F.col("pos0") % _PQ_LD).cast("int").alias("lpos"),
-            "v",
-        )
-    )
     w = Window.orderBy("vec_id")
     init = (
         e.orderBy("vec_id").limit(_PQ_K)
-        .select((F.row_number().over(w) - 1).alias("c"), "vec_id")
+        .select((F.row_number().over(w) - 1).alias("cl"),
+                F.col("emb").alias("cent"))
     )
-    icent = init.join(ex, "vec_id").select(
-        "c", "s", "lpos", F.col("v").alias("cv")
+    pcb = _blocked_cogroup(
+        e, init, _pq_kernel("partials"),
+        "s int, cl int, lpos int, psum double, pn bigint"
+    ).groupBy("s", "cl", "lpos").agg(
+        _snap(F.sum("psum") / F.sum("pn")).alias("cv")
     )
-    cost_d = F.sum(
-        F.col("cv") * F.col("cv") - 2.0 * F.col("v") * F.col("cv")
-    ).alias("d")
-
-    def argmin_code(costs, code_col):
-        return (
-            costs.groupBy("vec_id", "s")
-            .agg(F.min(F.struct(F.col("d"), F.col(code_col).alias("c")))
-                 .alias("m"))
-            .select("vec_id", "s", F.col("m.c").alias(code_col))
-        )
-
-    a1 = argmin_code(
-        ex.join(F.broadcast(icent), ["s", "lpos"])
-        .groupBy("vec_id", "s", "c").agg(cost_d),
-        "c",
-    ).withColumnRenamed("c", "cl")
-    cb = (
-        a1.join(ex, ["vec_id", "s"])
-        .groupBy("s", "cl", "lpos")
-        .agg(_snap(F.sum("v") / F.count(F.lit(1))).alias("cv"))
+    # wide codebook: one row per (s, cl) with its 16-dim subcentroid
+    cbw = _wide_centroids(pcb, ["s", "cl"], pos_col="lpos").localCheckpoint(
+        eager=True
+    )
+    codes = (
+        _blocked_cogroup(e, cbw, _pq_kernel("codes"),
+                         "vec_id bigint, codes array<int>")
         .localCheckpoint(eager=True)
     )
-    codes = argmin_code(
-        ex.join(F.broadcast(cb), ["s", "lpos"])
-        .groupBy("vec_id", "s", "cl").agg(cost_d),
-        "cl",
-    ).withColumnRenamed("cl", "code").localCheckpoint(eager=True)
-    tbl = (
-        ex.filter(F.col("vec_id") % 50 == 0)
-        .join(F.broadcast(cb), ["s", "lpos"])
-        .groupBy(F.col("vec_id").alias("query_id"), "s", "cl")
-        .agg(F.sum(F.col("v") * F.col("cv")).alias("t"))
+    tbl = _blocked_cogroup(
+        e.filter(F.col("vec_id") % 50 == 0), cbw,
+        _pq_kernel("tbl"), "query_id bigint, t array<double>"
     )
-    return ex, cb, codes, tbl
+    return cbw, codes, tbl
 
 
 @_q("ann_pq", _ANN_PQ_SQL)
@@ -1589,24 +1831,16 @@ def ann_pq(spark, sf_dir):
     clustered corpora the codebooks land on the modes and ADC ranks
     the true neighbors. ann_ivfpq is the production composition (IVF
     prunes the cells, ADC scores the survivors from codes)."""
-    _, _, codes, tbl = _pq_parts(spark, sf_dir)
-    tbl2 = tbl.select(
-        "query_id", F.col("s").alias("ts"), F.col("cl").alias("tcl"), "t"
-    )
-    adc = (
-        codes.join(
-            F.broadcast(tbl2),
-            (F.col("s") == F.col("ts")) & (F.col("code") == F.col("tcl")),
-        )
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("t").alias("adc"))
+    _, codes, tbl = _pq_parts(spark, sf_dir)
+    cand = _blocked_cogroup(
+        codes, tbl, _adc_topk_fn(None),
+        "query_id bigint, neighbor_id bigint, adc double",
     )
     rk = F.row_number().over(
         Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
     )
     return (
-        adc.withColumn("rank", rk)
+        cand.withColumn("rank", rk)
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank", "adc")
     )
@@ -1669,30 +1903,25 @@ def ann_ivfpq(spark, sf_dir):
     e, _, c2 = _kmeans_parts(spark, sf_dir)
     ranked = _trained_cells(e, c2)
     corpus_cells = ranked.filter(F.col("rk") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("cj").alias("cell")
+        "vec_id", F.col("cj").alias("cell")
     )
-    probes = ranked.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("cj").alias("cell")
+    probe_cells = (
+        ranked.filter(F.col("vec_id") % 50 == 0)
+        .groupBy(F.col("vec_id").alias("query_id"))
+        .agg(F.collect_list("cj").alias("cells"))
     )
-    cand = (
-        corpus_cells.join(F.broadcast(probes), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
-    _, _, codes, tbl = _pq_parts(spark, sf_dir)
-    tblr = tbl.select("query_id", "s", F.col("cl").alias("code"), "t")
-    adc = (
-        codes.withColumnRenamed("vec_id", "neighbor_id")
-        .join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(tblr), ["query_id", "s", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("t").alias("adc"))
+    _, codes, tbl = _pq_parts(spark, sf_dir)
+    cand = _blocked_cogroup(
+        codes.join(corpus_cells, "vec_id"),
+        tbl.join(probe_cells, "query_id"),
+        _adc_topk_fn(True),
+        "query_id bigint, neighbor_id bigint, adc double",
     )
     rk2 = F.row_number().over(
         Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
     )
     return (
-        adc.withColumn("rank", rk2)
+        cand.withColumn("rank", rk2)
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank", "adc")
     )

@@ -121,25 +121,31 @@ def run_cusum_stream_once(
     ).localCheckpoint(eager=True)
 
     # time-range chunking: the harness's stand-in for a per-key-ordered
-    # source; files written (and mtime-pinned) in time order
+    # source; files written (and mtime-pinned) in time order. r6: ONE
+    # partitioned write — the old loop re-executed the global-ntile
+    # plan twice per chunk (a filter+write and a dead count), i.e. 8
+    # full sorts of the fixture; now the sort runs once and a single
+    # task lays out every chunk directory (26 s -> ~13 s at sf1.0).
     in_dir = tempfile.mkdtemp(prefix="s2tt_stream_cusum_")
     ranked = e.withColumn(
         "chunk",
         F.ntile(n_chunks).over(Window.orderBy("ts_us", "event_id")),
     )
-    total_rows = 0
+    ranked.coalesce(1).write.mode("overwrite").partitionBy("chunk").parquet(
+        in_dir
+    )
     for c in range(1, n_chunks + 1):
-        path = os.path.join(in_dir, f"chunk_{c:02d}")
-        part = ranked.filter(F.col("chunk") == c).drop("chunk")
-        part.coalesce(1).write.mode("overwrite").parquet(path)
-        total_rows += part.count()
+        path = os.path.join(in_dir, f"chunk={c}")
         t = 1_700_000_000 + c
         for root, _dirs, files in os.walk(path):
             for f in files:
                 os.utime(os.path.join(root, f), (t, t))
         os.utime(path, (t, t))
 
-    schema = spark.read.parquet(os.path.join(in_dir, "chunk_01")).schema
+    # leaf-dir read: recursiveFileLookup on the stream disables
+    # partition discovery, so `chunk` stays a directory name, not a
+    # column — the per-file schema is unchanged from the old layout
+    schema = spark.read.parquet(os.path.join(in_dir, "chunk=1")).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -215,18 +221,20 @@ def run_cusum_stream_resumable(
         "chunk",
         F.ntile(n_chunks).over(Window.orderBy("ts_us", "event_id")),
     )
+    # one partitioned write (see run_cusum_stream_once): the global
+    # ntile sort executes once for all chunks
+    ranked.coalesce(1).write.mode("overwrite").partitionBy("chunk").parquet(
+        stage
+    )
     for c in range(1, n_chunks + 1):
-        path = os.path.join(stage, f"chunk_{c:02d}")
-        ranked.filter(F.col("chunk") == c).drop("chunk").coalesce(
-            1
-        ).write.mode("overwrite").parquet(path)
+        path = os.path.join(stage, f"chunk={c}")
         t = 1_700_000_000 + c
         for root, _dirs, files in os.walk(path):
             for f in files:
                 os.utime(os.path.join(root, f), (t, t))
         os.utime(path, (t, t))
 
-    schema = spark.read.parquet(os.path.join(stage, "chunk_01")).schema
+    schema = spark.read.parquet(os.path.join(stage, "chunk=1")).schema
 
     def _phase() -> None:
         stream = (
@@ -257,10 +265,10 @@ def run_cusum_stream_resumable(
         q.awaitTermination()
 
     for c in range(1, split_at + 1):
-        shutil.move(os.path.join(stage, f"chunk_{c:02d}"), live)
+        shutil.move(os.path.join(stage, f"chunk={c}"), live)
     _phase()  # phase A, then the query object is gone ("crash")
     for c in range(split_at + 1, n_chunks + 1):
-        shutil.move(os.path.join(stage, f"chunk_{c:02d}"), live)
+        shutil.move(os.path.join(stage, f"chunk={c}"), live)
     _phase()  # phase B: NEW query, same checkpoint -> state restored
 
     upd = (

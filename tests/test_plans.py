@@ -138,21 +138,22 @@ def test_ann_ivf_cogroup_cells(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ann_pq_broadcast_equijoins_only(spark):
-    """PQ ANN: codebook/table joins are broadcast hash equi-joins; the
-    corpus is scored from codes and never rides a nested loop."""
+def test_ann_pq_cogroup_over_checkpointed_codes(spark):
+    """PQ ANN: the corpus is scored from its checkpointed codes by the
+    blocked ADC cogroup kernel — no nested loop, training ran once."""
     plan = _executed(spark, "ann_pq")
-    assert "BroadcastHashJoin" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ExistingRDD" in plan  # codebook/codes checkpointed: train once
 
 
-def test_ann_ivfpq_broadcast_equijoins_only(spark):
-    """IVF+PQ composition: cell pruning and ADC scoring both ride
-    broadcast equi-joins over checkpointed trained state."""
+def test_ann_ivfpq_cogroup_over_checkpointed_state(spark):
+    """IVF+PQ composition: cell pruning and ADC scoring ride the
+    blocked cogroup kernel over checkpointed trained state — no
+    nested loop, both training chains ran once."""
     plan = _executed(spark, "ann_ivfpq")
-    assert "BroadcastHashJoin" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ExistingRDD" in plan  # both training chains ran once
