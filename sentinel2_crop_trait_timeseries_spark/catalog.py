@@ -50,6 +50,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Restore scan parallelism for heavy per-row chains (guide §2.5
+    "input skew ... repartition immediately after the read").
+
+    The driver fixtures are ONE small parquet file with one row group
+    per table, so a scan is a single split and every expensive narrow
+    chain stacked on it (tokenize/shingle/digest/curve math) runs on
+    one core of local[32]. A keyless round-robin repartition spreads
+    the rows; it fires ONLY when the scan arrived with fewer splits
+    than the session's parallelism, so at production scale (hundreds
+    of files per table) this is the identity and no extra shuffle
+    exists. Round-robin keeps sortBeforeRepartition's deterministic
+    retry placement; all catalog queries are partition-invariant by
+    contract, so results are unchanged."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _epoch(col) -> F.Column:
     """Epoch seconds as BIGINT (truncating micros).
 
@@ -1298,7 +1319,9 @@ def lut_inversion_topk(spark, sf_dir):
                 }
             )
 
-    e = _t(spark, sf_dir, "embeddings").select(
+    # _spread: the single-file embeddings scan is one split; without it
+    # the whole LUT kernel runs on one core (identity at real scale)
+    e = _spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.slice("embedding", 1, _LUT_DIMS).alias("emb")
     )
     return e.mapInPandas(

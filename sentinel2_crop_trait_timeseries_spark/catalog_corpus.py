@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sentinel2_crop_trait_timeseries_spark.catalog import _q, _t
+from sentinel2_crop_trait_timeseries_spark.catalog import _q, _spread, _t
 from sentinel2_crop_trait_timeseries_spark.catalog_docs import (
     _SQL_SHINGLES,
     _shingles,
@@ -43,7 +43,9 @@ def _swords(d: DataFrame) -> DataFrame:
     """(source, doc_id, w): whitespace words with the source carried
     (catalog_docs._words drops source; corpus-health groups by it)."""
     arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    return d.select("source", "doc_id", F.explode(arr).alias("w"))
+    # _spread: single-file fixture scans arrive as one split (see
+    # catalog._spread) — identity at production file counts
+    return _spread(d).select("source", "doc_id", F.explode(arr).alias("w"))
 
 
 _SQL_SWORDS = r"""
@@ -499,7 +501,7 @@ def pmi_collocations_topk(spark, sf_dir):
     the already-collapsed pair table."""
     d = _t(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    base = d.select("source", ws.alias("ws")).filter(F.size("ws") >= 2)
+    base = _spread(d).select("source", ws.alias("ws")).filter(F.size("ws") >= 2)
     pairs = F.transform(
         F.sequence(F.lit(0), F.size("ws") - 2),
         lambda i: F.struct(

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sentinel2_crop_trait_timeseries_spark.catalog import _q, _t
+from sentinel2_crop_trait_timeseries_spark.catalog import _q, _spread, _t
 
 # ---------------------------------------------------------------------
 # shared helpers
@@ -56,7 +56,10 @@ def _words(df: DataFrame, distinct: bool = False) -> DataFrame:
     arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     if distinct:
         arr = F.array_distinct(arr)
-    return df.select("doc_id", F.explode(arr).alias("w"))
+    # _spread: the single-file fixture scan arrives as ONE split; the
+    # tokenize+explode chain above any groupBy runs there, so spread it
+    # across the session's cores first (identity at production scale)
+    return _spread(df).select("doc_id", F.explode(arr).alias("w"))
 
 
 _SQL_WORDS = """
@@ -282,7 +285,7 @@ def _shingles(d: DataFrame) -> DataFrame:
     doc for every F.get(ws, i) of every shingle — O(len^2) per doc
     (measured 9 s -> 0.4 s at sf0.1 for the decontamination probe)."""
     ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
+    base = _spread(d).select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
     sh = F.transform(
         F.sequence(F.lit(0), F.size("ws") - 3),
         lambda i: F.concat_ws(
@@ -461,20 +464,65 @@ def dedup_minhash_lsh(spark, sf_dir):
 def _minhash_profiles(d: DataFrame) -> DataFrame:
     """(doc_id, sig0, sig1): the full band-signature profile per doc —
     2 band signatures from 8 minhashes (four 32-bit slices per salted
-    md5 digest — 2 digests per word)."""
-    dw = _words(d, distinct=True)
+    md5 digest — 2 digests per word).
 
-    def mh(k: int) -> F.Column:
-        i, j = divmod(k, 4)
-        digest = F.md5(
-            F.concat_ws("|", F.lit(str(i)), F.col("w")).cast("binary")
-        )
-        return F.conv(
-            F.substring(digest, 1 + 8 * j, 8), 16, 10
-        ).cast("long")
+    r6: the per-word digest work runs in a mapInPandas kernel
+    (hashlib.md5 over the SAME "salt|word" UTF-8 bytes, int(hex, 16)
+    slices — bit-identical to the md5/conv expression family by
+    definition) over the JVM-tokenized word arrays. The JVM expression
+    path evaluated 8 interpreted conv(substring(md5)) trees per
+    exploded (doc, word) row (~5 s at sf1.0, the shared bottleneck of
+    dedup_minhash_lsh / dedup_components / streaming_dedup_probe /
+    curation_pipeline_counts); the kernel also folds the per-doc min
+    in place, so the (doc, word) explode + 8-way min groupBy shuffle
+    disappear. Tokenization stays F.split (Java regex semantics
+    unchanged); band signatures stay JVM md5 over one row per doc."""
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    # documents arrive as ONE scan split (a single small parquet file),
+    # which would serialize the digest kernel on one core; spread by
+    # doc_id hash first (deterministic placement, result-invariant)
+    npart = d.sparkSession.sparkContext.defaultParallelism
+    docs = d.select("doc_id", F.array_distinct(ws).alias("ws")).repartition(
+        npart, "doc_id"
+    )
+    n_mh = _MINHASH_K
+    n_salts = _MH_SALTS
 
-    mins = dw.groupBy("doc_id").agg(
-        *[F.min(mh(k)).alias(f"m{k}") for k in range(_MINHASH_K)]
+    def minhash_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, mins = [], []
+            for doc_id, words in zip(pdf["doc_id"], pdf["ws"]):
+                if words is None or len(words) == 0:
+                    continue
+                m = [None] * n_mh
+                for w in words:
+                    for i in range(n_salts):
+                        dig = md5((str(i) + "|" + w).encode("utf-8"))
+                        hx = dig.hexdigest()
+                        for j in range(4):
+                            v = int(hx[8 * j:8 * j + 8], 16)
+                            k = 4 * i + j
+                            if m[k] is None or v < m[k]:
+                                m[k] = v
+                ids.append(doc_id)
+                mins.append(m)
+            if not ids:
+                continue
+            arr = np.asarray(mins, dtype=np.int64)
+            out = {"doc_id": np.asarray(ids, dtype=np.int64)}
+            for k in range(n_mh):
+                out[f"m{k}"] = arr[:, k]
+            yield pd.DataFrame(out)
+
+    mins = docs.mapInPandas(
+        minhash_fn,
+        "doc_id bigint, " + ", ".join(f"m{k} bigint" for k in range(n_mh)),
     )
 
     def bsig(lo: int) -> F.Column:
@@ -3122,7 +3170,7 @@ def doc_repetition_ratio(spark, sf_dir):
     under the repo's round(1e-9 + x, 4) convention."""
     d = _t(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
+    base = _spread(d).select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
     sh = F.transform(
         F.sequence(F.lit(0), F.size("ws") - 3),
         lambda i: F.concat_ws(
@@ -3312,7 +3360,7 @@ def dedup_span_exact(spark, sf_dir):
     md5-uniform — no skew. Exact integers + one division."""
     d = _t(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 1)
+    base = _spread(d).select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 1)
     spans_arr = F.transform(
         F.sequence(F.lit(0), F.ceil(F.size("ws") / _SPAN_W).cast("long") - 1),
         lambda b: F.md5(

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sentinel2_crop_trait_timeseries_spark.catalog import _q, _t
+from sentinel2_crop_trait_timeseries_spark.catalog import _q, _spread, _t
 
 _DAY_US = 86_400_000_000
 
@@ -170,7 +170,7 @@ def heavy_hitters_cms(spark, sf_dir):
     count; this is its sketch-shaped scale path.
     """
     d = _t(spark, sf_dir, "documents")
-    ws = d.select(
+    ws = _spread(d).select(
         F.explode(
             F.filter(F.split("text", r"\s+"), lambda x: x != "")
         ).alias("word")
@@ -275,7 +275,7 @@ def kmv_distinct_estimate(spark, sf_dir):
     """
     d = _t(spark, sf_dir, "documents")
     h = (
-        d.select(
+        _spread(d).select(
             F.explode(
                 F.filter(F.split("text", r"\s+"), lambda x: x != "")
             ).alias("word")
