@@ -477,8 +477,14 @@ def kl_divergence_source(spark, sf_dir):
     Exactness: counts are BIGINT; each term's float chain is mirrored
     expression-for-expression — (c_sw/n_s) * ln((c_sw*n)/(c_w*n_s)) —
     where both divisions are correctly rounded on exact integer
-    operands (products < 2^63), then snapped to the 1/2^20 dyadic
-    grid BEFORE the cross-row sum. Terms may be negative (p_sw < p_w);
+    operands, then snapped to the 1/2^20 dyadic grid BEFORE the
+    cross-row sum. SCALE BOUND (r5 ADVICE): the int64 products c_sw*n
+    and c_w*n_s require n_s*n < 2^63 — safe through ~10^9-token
+    sources in a ~10^9-token corpus, but a 10B-token corpus with a
+    1B-token source overflows; beyond that, migrate both products to
+    decimal(38,0) (changes no value at in-range sizes but re-hash the
+    contract when done) rather than re-associating the division, which
+    would change the float chain. Terms may be negative (p_sw < p_w);
     floor(x + 0.5) is the same function in both engines for either
     sign, so the snap stays engine-identical. Residual risk is the
     per-term 1-ulp libm ln() disagreement flipping a snap
