@@ -3512,8 +3512,12 @@ def tfidf_top_terms(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     w = _words(d)
     dw = w.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("n_dw"))
+    # r6: count distinct docs from the collapsed (doc, word) frame —
+    # the same doc set as the raw token stream (every counted doc has
+    # >= 1 word in both), but it reuses dw's exchange instead of
+    # running a second full tokenize+explode pass over the corpus
+    nd = dw.agg(F.countDistinct("doc_id").cast("double").alias("n"))
     dfw = dw.groupBy("w").agg(F.count("*").cast("long").alias("df"))
-    nd = w.agg(F.countDistinct("doc_id").cast("double").alias("n"))
     scored = (
         dw.join(dfw, "w")
         .crossJoin(F.broadcast(nd))

@@ -36,6 +36,7 @@ from sentinel2_crop_trait_timeseries_spark.catalog import (
     QUERIES,
     _SQL_WEEK,
     _q,
+    _spread,
     _t,
     _week_bucket,
 )
@@ -2994,7 +2995,9 @@ def column_profile_orders(spark, sf_dir):
     Reference analog: the per-campaign metadata audit — pixel counts
     and failed-pixel inventories written next to every output
     (src/baseline/01_run_baseline_model.py:343-357)."""
-    o = _t(spark, sf_dir, "orders")
+    # _spread: the 6-way countDistinct Expand multiplies rows 6x in
+    # the scan stage, which is a single split on the one-file fixture
+    o = _spread(_t(spark, sf_dir, "orders"))
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c, k in _PROFILE_COLS:
         aggs.append(F.count(c).cast("long").alias(f"nn_{c}"))

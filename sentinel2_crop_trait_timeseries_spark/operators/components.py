@@ -125,6 +125,10 @@ def connected_components(
         # label chains, not edge hops, dominate.
         x = prop
         for _ in range(doublings):
+            # LAZY checkpoint: the fixpoint-witness aggregate below is
+            # the single materializing action (prop above is already
+            # materialized, so the self-join's two branches read the
+            # same cached rows) — one job per doubling instead of two
             x = (
                 x.join(
                     hint(x.select(F.col("u").alias("lbl"),
@@ -132,7 +136,7 @@ def connected_components(
                     "lbl",
                 )
                 .select("u", F.least(F.col("lbl"), F.col("lbl2")).alias("lbl"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         new_labels = x
         # fixpoint witness: per-node labels are monotonically

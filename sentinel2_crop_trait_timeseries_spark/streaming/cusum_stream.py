@@ -49,23 +49,35 @@ def cusum_stateful(stream: DataFrame, k: int, h: int) -> DataFrame:
     (the operator's documented contract)."""
 
     def update(key_tuple, pdfs, state: GroupState):
+        import numpy as np
+
         s, n_over, first_ts, max_s, n_seen = (
             state.get if state.exists else (0, 0, -1, 0, 0)
         )
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts_us", "event_id"]
+        # r6: avoid per-key pandas copies — this function runs once per
+        # (key, batch), ~60k times per bench run, so constant overhead
+        # dominates. Single-chunk keys skip the concat; the
+        # (ts, event_id) sort is one numpy lexsort; the fold walks
+        # plain int64 arrays. Same fold, same state, same output.
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
         )
+        ts = pdf["ts_us"].to_numpy(np.int64)
+        eid = pdf["event_id"].to_numpy(np.int64)
+        cents = pdf["cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        cents = cents[order]
         target = int(pdf["target_x2"].iloc[0])
-        for cents, ts_us in zip(
-            pdf["cents"].astype("int64"), pdf["ts_us"].astype("int64")
-        ):
-            s = max(0, s + (2 * int(cents) - target) - k)
+        for i in range(len(ts)):
+            s = max(0, s + (2 * int(cents[i]) - target) - k)
             if s > h:
                 n_over += 1
                 if first_ts < 0:
-                    first_ts = int(ts_us)
+                    first_ts = int(ts[i])
             max_s = max(max_s, s)
-        n_seen += len(pdf)
+        n_seen += len(ts)
         state.update((s, n_over, first_ts, max_s, n_seen))
         yield pd.DataFrame(
             {
