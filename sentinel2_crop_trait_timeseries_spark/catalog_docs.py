@@ -693,32 +693,48 @@ def _simhash_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
     the DuckDB oracle still computes that form — while a
     duplicate-heavy corpus cuts the quadratic bucket join by the
     square of the duplication factor."""
-    dw = _words(d, distinct=True)
-    # one aggregate column per bit instead of exploding 32 rows per word:
-    # the (doc, word) stream shuffles ONCE at its natural size and the 32
-    # bit-votes ride the same map-side partial aggregation
-    hashed = dw.select("doc_id", _h("w").alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(_SIMHASH_BITS)
-    ]
-    sig = (
-        hashed.groupBy("doc_id")
-        .agg(*votes)
-        .select(
-            "doc_id",
-            sum(
-                [
-                    F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
-                    .otherwise(F.lit(0).cast("long"))
-                    for b in range(_SIMHASH_BITS)
-                ],
-                F.lit(0).cast("long"),
-            ).alias("simhash"),
-        )
-    )
+    # r6: signatures via a per-doc mapInPandas kernel — hashlib.md5
+    # over the word's UTF-8 bytes with int(hex[:15], 16), the
+    # bit-identical twin of the _h() conv(substring(md5)) expression,
+    # bit votes and the sign threshold as exact integer numpy ops.
+    # The old path evaluated an interpreted md5+conv tree per exploded
+    # (doc, word) row plus a 32-column vote groupBy; the kernel folds
+    # votes in place, so the explode and its shuffle disappear (the
+    # _minhash_profiles pattern; ~2.5 s at sf1.0).
+    ws_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    docs = _spread(d).select("doc_id", F.array_distinct(ws_arr).alias("ws"))
+    n_bits = _SIMHASH_BITS
+
+    def simhash_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        shifts = np.arange(n_bits, dtype=np.int64)
+        weights = np.int64(1) << shifts
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, words in zip(pdf["doc_id"], pdf["ws"]):
+                if words is None or len(words) == 0:
+                    continue
+                hs = np.fromiter(
+                    (int(md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                     for w in words),
+                    dtype=np.int64, count=len(words),
+                )
+                bits = (hs[:, None] >> shifts) & 1
+                votes = (2 * bits - 1).sum(axis=0)
+                sigs.append(int(weights[votes > 0].sum()))
+                ids.append(doc_id)
+            if ids:
+                yield pd.DataFrame({
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "simhash": np.asarray(sigs, dtype=np.int64),
+                })
+
+    sig = docs.mapInPandas(simhash_fn, "doc_id bigint, simhash bigint")
     # Hamming <= 2 spoils at most 2 of the 4 chunks, so at least one of
     # the C(4,2)=6 chunk PAIRS survives intact on both sides — banding
     # on 16-bit pair keys instead of single 8-bit chunks cuts the
