@@ -1429,12 +1429,16 @@ def _kmeans_parts(spark, sf_dir):
     broadcast dim-join -> groupBy over ~10M narrow rows per step; the
     update aggregates K*dim partials per block. Fixed-point grid =>
     every sum exact in double => bit-identical to the old chain (and
-    the DuckDB CTE oracle) by construction. a2, c2 and the round-1
+    the DuckDB CTE oracle) by construction. c2 and the round-1
     codebook are eagerly localCheckpoint-ed: the chain executes exactly
     ONCE per query run and every consumer branch reads the
     materialized result (the r3 'recomputes the whole Lloyd chain'
-    fix). At cluster scale the same seam would be a write-through
-    table checkpoint; c2 is K*dim = 512 rows, a2 one row per vector."""
+    fix). a2's checkpoint is LAZY: only ivf_train_kmeans consumes the
+    full-corpus assignment, so its single action materializes it once,
+    while ann_ivf_trained / ann_ivfpq (which take only e and c2) no
+    longer pay a dead full-corpus assign pass per run. At cluster
+    scale the same seam would be a write-through table checkpoint;
+    c2 is K*dim = 512 rows, a2 one row per vector."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -1455,7 +1459,7 @@ def _kmeans_parts(spark, sf_dir):
     a2 = (
         _blocked_cogroup(e, c1w, _km_kernel("assign"),
                          "vec_id bigint, cl int")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     c2 = _km_update(
         _blocked_cogroup(e, c1w, _km_kernel("partials"),
