@@ -2070,8 +2070,14 @@ def ann_recall(spark, sf_dir):
     p ~ 0.86) the same 9-probe config predicts recall ~ 0.68, and
     widening to Hamming<=2 (37 probes, still 14% of buckets) ~ 0.91 —
     the knob this query exists to tune."""
-    bf = _REGISTRY["ann_topk_bruteforce"]["fn"](spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    # checkpointed: the ground truth feeds all five measure() branches,
+    # and the cogroup scoring kernel defeats exchange-reuse
+    # canonicalization — without this the brute-force pass would run
+    # once per branch (5x) inside the single union action. Q*3 rows.
+    bf = (
+        _REGISTRY["ann_topk_bruteforce"]["fn"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
 
     def measure(method: str) -> DataFrame:
@@ -2321,7 +2327,15 @@ def ann_recall_clustered(spark, sf_dir):
 
     ce = _clustered_emb(spark, sf_dir)
     probes = ce.filter(F.col("vec_id") % 50 == 0)
-    bf = brute_force_topk(ce, probes, k=3).select("query_id", "neighbor_id")
+    # the ground truth feeds all four measure() branches; Python
+    # cogroup kernels defeat exchange-reuse canonicalization, so
+    # without a checkpoint the brute-force scoring would execute once
+    # PER BRANCH inside the single union action (4x). Q*3 rows.
+    bf = (
+        brute_force_topk(ce, probes, k=3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
 
     lsh_bucket = (
         F.when(F.element_at("embedding", 1) > 0, 8).otherwise(0)
