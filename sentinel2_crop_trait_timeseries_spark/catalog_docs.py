@@ -597,7 +597,12 @@ def _minhash_lsh_pairs(d: DataFrame, bucket_cap: int | None = None,
             .agg(F.count("*").alias("n_shared_bands"))
         )
 
-    # exact class-collapse path
+    # exact class-collapse path. pdoc feeds three branches (the class
+    # list and both fan-out sides); AQE's runtime stage reuse dedupes
+    # the shared profile-kernel stage across them (verified via
+    # executed-plan task counts), so no checkpoint is needed — an
+    # eager one was measured SLOWER at 1x and 10x scale because it
+    # serializes the materialization into its own job barrier.
     w = Window.partitionBy("sig0", "sig1")
     pdoc = _minhash_profiles(d).withColumn("cls", F.min("doc_id").over(w))
     classes = pdoc.filter(F.col("doc_id") == F.col("cls")).select(
@@ -781,7 +786,12 @@ def _simhash_pairs(d: DataFrame, bucket_cap: int | None = None) -> DataFrame:
             .filter(F.col("hamming") <= 2)
         )
 
-    # exact class-collapse path
+    # exact class-collapse path. sdoc feeds four subtrees (both
+    # banding sides via classes, plus both fan-out sides); AQE's
+    # runtime stage reuse dedupes the shared signature-kernel stage
+    # across them (verified via executed-plan task counts), so no
+    # checkpoint is needed — an eager one was measured SLOWER at 1x
+    # and 10x scale (extra job barrier).
     w = Window.partitionBy("simhash")
     sdoc = sig.withColumn("cls", F.min("doc_id").over(w))
     classes = sdoc.filter(F.col("doc_id") == F.col("cls")).select("cls", "simhash")
@@ -1537,11 +1547,15 @@ def _trained_cells(e, c2):
     cells (rk=1 is its home cell) — one _blocked_cogroup numpy kernel
     (costs exact on the grid; stable argsort = the (d, cj) row_number
     tie-break) instead of the posexplode dim-join + per-vector window
-    over 10M narrow rows."""
+    over 10M narrow rows. The 2N-row (vec_id, cj, rk) output is
+    eagerly checkpointed: both consumers slice it twice (corpus rk=1
+    side and probe side of the scoring cogroup), and the Python kernel
+    defeats subtree reuse, so without this the assignment pass would
+    execute once per slice."""
     c2w = _wide_centroids(c2, ["cl"])
     ranked = _blocked_cogroup(
         e, c2w, _km_kernel("top2"), "vec_id bigint, cj int, rk int"
-    )
+    ).localCheckpoint(eager=True)
     return ranked.join(e, "vec_id")
 
 
@@ -2070,14 +2084,12 @@ def ann_recall(spark, sf_dir):
     p ~ 0.86) the same 9-probe config predicts recall ~ 0.68, and
     widening to Hamming<=2 (37 probes, still 14% of buckets) ~ 0.91 —
     the knob this query exists to tune."""
-    # checkpointed: the ground truth feeds all five measure() branches,
-    # and the cogroup scoring kernel defeats exchange-reuse
-    # canonicalization — without this the brute-force pass would run
-    # once per branch (5x) inside the single union action. Q*3 rows.
-    bf = (
-        _REGISTRY["ann_topk_bruteforce"]["fn"](spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+    # bf feeds all five measure() branches uncheckpointed on purpose:
+    # AQE's runtime stage reuse dedupes the shared brute-force stages
+    # across the branches (see ann_recall_clustered's note; an eager
+    # checkpoint measured slower by serializing the heaviest leg).
+    bf = _REGISTRY["ann_topk_bruteforce"]["fn"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
     )
 
     def measure(method: str) -> DataFrame:
@@ -2327,15 +2339,12 @@ def ann_recall_clustered(spark, sf_dir):
 
     ce = _clustered_emb(spark, sf_dir)
     probes = ce.filter(F.col("vec_id") % 50 == 0)
-    # the ground truth feeds all four measure() branches; Python
-    # cogroup kernels defeat exchange-reuse canonicalization, so
-    # without a checkpoint the brute-force scoring would execute once
-    # PER BRANCH inside the single union action (4x). Q*3 rows.
-    bf = (
-        brute_force_topk(ce, probes, k=3)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
+    # bf feeds all four measure() branches UNCHECKPOINTED on purpose:
+    # AQE's runtime stage reuse dedupes the shared brute-force stages
+    # across the branches, and an eager checkpoint here was measured
+    # SLOWER at 1x and 10x scale (it serializes the heaviest leg into
+    # its own job barrier before the method legs can run).
+    bf = brute_force_topk(ce, probes, k=3).select("query_id", "neighbor_id")
 
     lsh_bucket = (
         F.when(F.element_at("embedding", 1) > 0, 8).otherwise(0)
