@@ -159,6 +159,21 @@ def test_ann_ivfpq_cogroup_over_checkpointed_state(spark):
     assert "ExistingRDD" in plan  # both training chains ran once
 
 
+def test_trained_search_kernel_counts(spark):
+    """r6 checkpoint discipline for the trained-IVF search queries:
+    the _trained_cells top2 assignment is checkpointed (its kernel
+    must NOT reappear per consumer slice) and _kmeans_parts' a2
+    full-corpus assignment is lazy (a dead pass for these queries, so
+    its kernel must not appear at all). What remains in the plan is
+    exactly the per-query scoring work: 1 cogroup kernel for
+    ann_ivf_trained (grouped_cell_topk), 2 for ann_ivfpq (ADC table
+    build + ADC scoring)."""
+    p1 = _executed(spark, "ann_ivf_trained")
+    assert p1.count("FlatMapCoGroupsInPandas") == 1
+    p2 = _executed(spark, "ann_ivfpq")
+    assert p2.count("FlatMapCoGroupsInPandas") == 2
+
+
 def test_hamming_masks_pure():
     """Probe-mask generator: exact cover of the Hamming ball, no dupes
     (pure python — no Spark session)."""
